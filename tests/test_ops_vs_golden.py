@@ -1,0 +1,236 @@
+"""JAX op equivalence vs the golden oracle (on CPU mesh)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vdlm2dec_tpu import constants as C
+from vdlm2dec_tpu import modulator as mod
+from vdlm2dec_tpu.golden import codec
+from vdlm2dec_tpu.golden.dsp import GoldenChannel, mix_and_decimate
+from vdlm2dec_tpu.ops import assembly, header, rs_fec
+from vdlm2dec_tpu.ops.channelizer import Channelizer
+from vdlm2dec_tpu.ops.demod import (
+    demod_candidates,
+    find_triggers,
+    polyphase_filter,
+    sync_scan,
+)
+
+
+# ---------------------------------------------------------------------------
+# channelizer
+# ---------------------------------------------------------------------------
+
+def test_channelizer_matches_reference_decimator():
+    rng = np.random.default_rng(0)
+    fs, sdrclk = 2_000_000, 500
+    t = 3 * 4 * sdrclk
+    x = (rng.normal(size=t) + 1j * rng.normal(size=t)).astype(np.complex64)
+    offsets = [25_000.0, -75_000.0, 150_000.0]
+    chan = Channelizer(offsets, fs=fs, sdrclk=sdrclk, lo_wrap=True)
+    y = np.asarray(chan(x))
+    for ci, fo in enumerate(offsets):
+        ref = mix_and_decimate(x, fo, fs, sdrclk, lo_table_wrap=True)
+        assert y.shape[1] == len(ref)
+        np.testing.assert_allclose(y[ci], ref, atol=2e-5)
+
+
+def test_channelizer_streaming_continuity():
+    """Two half-blocks must equal one full block (period phase carry)."""
+    rng = np.random.default_rng(1)
+    fs, sdrclk = 2_000_000, 500
+    p = 4 * sdrclk
+    x = (rng.normal(size=4 * p) + 1j * rng.normal(size=4 * p)).astype(np.complex64)
+    chan1 = Channelizer([30_000.0], fs=fs, lo_wrap=False)
+    full = np.asarray(chan1(x))
+    chan2 = Channelizer([30_000.0], fs=fs, lo_wrap=False)
+    a = np.asarray(chan2(x[: 2 * p]))
+    b = np.asarray(chan2(x[2 * p :]))
+    np.testing.assert_allclose(np.concatenate([a, b], axis=1), full, atol=2e-5)
+
+
+def test_channelizer_airspy_rates():
+    rng = np.random.default_rng(2)
+    for fs, sdrclk in [(5_000_000, 1250), (6_000_000, 1500)]:
+        p = 4 * sdrclk
+        x = (rng.normal(size=2 * p)).astype(np.float32)   # real input
+        chan = Channelizer([-1_200_000.0], fs=fs, sdrclk=sdrclk, real_input=True)
+        y = np.asarray(chan(x))
+        ref = mix_and_decimate(x.astype(np.complex64), -1_200_000.0, fs, sdrclk)
+        assert y.shape[1] == len(ref) == 168
+        np.testing.assert_allclose(y[0], ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# polyphase filter + sync metric
+# ---------------------------------------------------------------------------
+
+def _golden_trace(sig):
+    ch = GoldenChannel()
+    ch.run(sig)
+    return ch
+
+
+def test_sync_metric_matches_golden():
+    rng = np.random.default_rng(3)
+    content = rng.integers(0, 256, 30).astype(np.uint8)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=400, cfo_hz=80.0)
+    sig = mod.awgn(sig, 18.0, rng)
+    gch = _golden_trace(sig)
+
+    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    f = polyphase_filter(y)
+    p0 = np.asarray(jnp.angle(f[:, 0, :]))[0]
+    err, fr = sync_scan(jnp.asarray(p0[None, :]))
+    err, fr = np.asarray(err)[0], np.asarray(fr)[0]
+
+    # golden records (t, err, fr) for every WSYNC metric position.  Compare
+    # only up to the first trigger: after a burst the serial decoder's phase
+    # ring is stale (frozen during the burst) while the vectorised scan uses
+    # true phases — an intentional divergence handled by overlap filtering.
+    first_trigger = gch.bursts[0].start_index if gch.bursts else len(err)
+    checked = 0
+    for (t, ge, gf) in gch.sync_errs:
+        if t < 200 or t >= first_trigger:
+            continue
+        assert err[t] == pytest.approx(ge, abs=2e-3), f"err mismatch at t={t}"
+        assert fr[t] == pytest.approx(gf, abs=1e-4), f"fr mismatch at t={t}"
+        checked += 1
+    assert checked > 50
+
+
+def test_triggers_match_golden():
+    rng = np.random.default_rng(4)
+    content = rng.integers(0, 256, 30).astype(np.uint8)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=500, timing_frac=0.4)
+    sig = mod.awgn(sig, 15.0, rng)
+    gch = _golden_trace(sig)
+    assert len(gch.bursts) == 1
+    gb = gch.bursts[0]
+
+    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    f = polyphase_filter(y)
+    err, fr = sync_scan(jnp.angle(f[:, 0, :]))
+    t0, of, df, valid = find_triggers(err, fr, 4)
+    t0 = np.asarray(t0)[0]
+    assert valid[0, 0]
+    assert t0[0] == gb.start_index
+    assert np.asarray(of)[0, 0] == pytest.approx(gb.timing, abs=1e-2)
+    assert np.asarray(df)[0, 0] == pytest.approx(gb.freq_offset, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full device demod vs golden block
+# ---------------------------------------------------------------------------
+
+def test_demod_block_matches_golden():
+    rng = np.random.default_rng(5)
+    content = rng.integers(0, 256, 60).astype(np.uint8)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=400, cfo_hz=120.0, timing_frac=0.6)
+    sig = mod.awgn(sig, 14.0, rng)
+    gch = _golden_trace(sig)
+    assert len(gch.bursts) == 1
+    gb = gch.bursts[0]
+
+    max_symbols = 1024
+    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    f = polyphase_filter(y)
+    err, fr = sync_scan(jnp.angle(f[:, 0, :]))
+    t0, of, df, valid = find_triggers(err, fr, 4)
+    soft = demod_candidates(y, t0, of, df, max_symbols)
+    flat = np.asarray(soft)[0, 0]
+
+    length, nbrow, nlbyte, ok = header.header_decode(jnp.asarray(flat[None, :25]))
+    assert bool(ok[0])
+    assert int(length[0]) == gb.length_bits
+    assert int(nbrow[0]) == gb.nbrow
+    assert int(nlbyte[0]) == gb.nlbyte
+
+    data_soft = flat[25 : 25 + 8 * assembly.MAX_TX_BYTES]
+    data_soft = np.pad(data_soft, (0, 8 * assembly.MAX_TX_BYTES - len(data_soft)))
+    blocks, consumed = assembly.assemble_blocks(
+        jnp.asarray(data_soft[None, :]),
+        jnp.asarray([int(nbrow[0])]),
+        jnp.asarray([int(nlbyte[0])]),
+    )
+    blk = np.asarray(blocks)[0, : gb.nbrow]
+    np.testing.assert_array_equal(blk, gb.block)
+
+
+# ---------------------------------------------------------------------------
+# RS vectorised vs golden
+# ---------------------------------------------------------------------------
+
+def _random_codeword(rng):
+    data = rng.integers(0, 256, C.RS_K).astype(np.uint8)
+    parity = codec.rs_encode_row(data)
+    return np.concatenate([data, parity])
+
+
+def test_rs_rows_match_golden():
+    rng = np.random.default_rng(6)
+    rows, classes, want_rows, want_counts = [], [], [], []
+    for trial in range(24):
+        cw = _random_codeword(rng)
+        nerr = int(rng.integers(0, 5))
+        bad = cw.copy()
+        pos = rng.choice(C.RS_N, nerr, replace=False)
+        for p in pos:
+            bad[p] ^= int(rng.integers(1, 256))
+        cls = int(rng.integers(0, 3))
+        eras = [[], [253, 254], [251, 252, 253, 254]][cls]
+        for e in eras:
+            bad[e] = 0
+        g_out, g_cnt = codec.rs_decode_row(bad, eras)
+        rows.append(bad)
+        classes.append(cls)
+        want_rows.append(g_out)
+        want_counts.append(g_cnt)
+    got_rows, got_counts = rs_fec.rs_decode_rows(
+        jnp.asarray(np.stack(rows)), jnp.asarray(classes, dtype=jnp.int32)
+    )
+    got_rows, got_counts = np.asarray(got_rows), np.asarray(got_counts)
+    for i in range(len(rows)):
+        assert got_counts[i] == want_counts[i], f"count mismatch @{i}"
+        np.testing.assert_array_equal(got_rows[i], want_rows[i], err_msg=f"row {i}")
+
+
+def test_rs_rows_uncorrectable_matches_golden():
+    rng = np.random.default_rng(7)
+    rows, want_counts = [], []
+    for trial in range(8):
+        cw = _random_codeword(rng)
+        bad = cw.copy()
+        for p in rng.choice(C.RS_N, 8, replace=False):
+            bad[p] ^= int(rng.integers(1, 256))
+        _, g_cnt = codec.rs_decode_row(bad, [])
+        rows.append(bad)
+        want_counts.append(g_cnt)
+    _, got_counts = rs_fec.rs_decode_rows(
+        jnp.asarray(np.stack(rows)), jnp.zeros(len(rows), dtype=jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(got_counts), want_counts)
+
+
+# ---------------------------------------------------------------------------
+# header decode batched vs golden
+# ---------------------------------------------------------------------------
+
+def test_header_decode_batch():
+    rng = np.random.default_rng(8)
+    softs, want = [], []
+    for _ in range(32):
+        length = int(rng.integers(96, 8 * 1992))
+        bits = codec.header_encode(length)
+        soft = np.clip(
+            bits.astype(np.float64) * 0.96 + 0.02 + rng.normal(0, 0.05, 25), 0.001, 0.999
+        )
+        g_len, _ = codec.header_decode_soft(soft)
+        softs.append(soft)
+        want.append(g_len)
+    length, nbrow, nlbyte, ok = header.header_decode(jnp.asarray(np.stack(softs)))
+    np.testing.assert_array_equal(np.asarray(length), want)

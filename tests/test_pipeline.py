@@ -1,0 +1,109 @@
+"""Full pipeline tests: wideband IQ -> channelizer -> demod -> frames."""
+import numpy as np
+import pytest
+
+from vdlm2dec_tpu import modulator as mod
+from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+
+def _mk_frame(rng, n=30):
+    return rng.integers(0, 256, n).astype(np.uint8)
+
+
+def test_pipeline_single_channel_baseband():
+    rng = np.random.default_rng(0)
+    content = _mk_frame(rng)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=400, total=8400)
+    sig = mod.awgn(sig, 15.0, rng)
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=1024, max_candidates=8)
+    pipe = Pipeline(cfg)
+    bursts = pipe.decode_channels(sig[None, :].astype(np.complex64))
+    with_frames = [b for b in bursts if b.frames]
+    assert len(with_frames) == 1
+    f = with_frames[0].frames[0]
+    np.testing.assert_array_equal(f[1:-3], content)
+    assert with_frames[0].length_bits == plan.length_bits
+
+
+def test_pipeline_wideband_8_channels():
+    """8 bursts on 8 different 25 kHz channels in one 2 MHz band."""
+    rng = np.random.default_rng(1)
+    fs = 2_000_000
+    freqs = [136_600_000 + 25_000 * i for i in range(0, 16, 2)]
+    fc = 136_487_500          # places all channels within the span, off-raster
+    cfg = PipelineConfig(freqs_hz=[float(f) for f in freqs], fs=fs,
+                         fc_hz=fc, lo_wrap=False,
+                         max_symbols=1024, max_candidates=4)
+    pipe = Pipeline(cfg)
+
+    total_bb = 12 * 8400
+    total_wide = int(total_bb * fs / 84_000)
+    wide = np.zeros(total_wide, dtype=np.complex128)
+    contents = []
+    for ci, f in enumerate(freqs):
+        content = _mk_frame(rng, 24 + ci)
+        contents.append(content)
+        plan = mod.make_burst([content])
+        bb = mod.synthesize_baseband(plan, start=500 + 977 * ci, total=total_bb)
+        wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total_wide)
+    noise = (rng.normal(size=total_wide) + 1j * rng.normal(size=total_wide)) * 0.02
+    wide = (wide + noise).astype(np.complex64)
+
+    bursts = pipe.decode_wideband(wide)
+    got = {}
+    for b in bursts:
+        for f in b.frames:
+            got[b.channel] = f
+    assert sorted(got.keys()) == list(range(8)), f"channels decoded: {sorted(got)}"
+    for ci in range(8):
+        np.testing.assert_array_equal(got[ci][1:-3], contents[ci])
+
+
+def test_pipeline_two_bursts_one_channel():
+    rng = np.random.default_rng(2)
+    c1, c2 = _mk_frame(rng, 20), _mk_frame(rng, 40)
+    p1, p2 = mod.make_burst([c1]), mod.make_burst([c2])
+    total = 3 * 8400
+    sig = (
+        mod.synthesize_baseband(p1, start=400, total=total)
+        + mod.synthesize_baseband(p2, start=12_000, total=total)
+    )
+    sig = mod.awgn(sig, 15.0, rng)
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=1024, max_candidates=8)
+    pipe = Pipeline(cfg)
+    bursts = [b for b in pipe.decode_channels(sig[None, :].astype(np.complex64))
+              if b.frames]
+    assert len(bursts) == 2
+    np.testing.assert_array_equal(bursts[0].frames[0][1:-3], c1)
+    np.testing.assert_array_equal(bursts[1].frames[0][1:-3], c2)
+
+
+def test_pipeline_matches_golden_frames():
+    """Same capture through golden scalar chain and TPU pipeline."""
+    from vdlm2dec_tpu.golden.dsp import GoldenChannel
+    from vdlm2dec_tpu.golden.codec import deframe_block
+
+    rng = np.random.default_rng(3)
+    content = _mk_frame(rng, 50)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=600, cfo_hz=150.0,
+                                  timing_frac=0.35, total=2 * 8400)
+    sig = mod.awgn(sig, 12.0, rng)
+
+    gch = GoldenChannel()
+    gb = gch.run(sig)
+    gold_frames = []
+    for b in gb:
+        fs_, _ = deframe_block(b.block, b.nbrow, b.nlbyte)
+        gold_frames.extend(tuple(f.tolist()) for f in fs_)
+
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=1024, max_candidates=8)
+    pipe = Pipeline(cfg)
+    bursts = pipe.decode_channels(sig[None, :].astype(np.complex64))
+    tpu_frames = [tuple(f.tolist()) for b in bursts for f in b.frames]
+    assert gold_frames, "golden decoded nothing"
+    assert tpu_frames == gold_frames

@@ -87,7 +87,11 @@ MFLT = np.array([
     -0.1069540690, -0.1058691815, -0.0998311862, -0.0900984580,
     -0.0778990609, -0.0643762574, -0.0505438764, -0.0372531112,
     -0.0251715417, -0.0147744088, -0.0063474526,
+    # the reference declares mflt[65] but initialises only 63 entries; C
+    # zero-fills the remainder (d8psk.h:28-45 + vdlm2.h:37)
+    0.0, 0.0,
 ], dtype=np.float64)
+assert len(MFLT) == MFLTLEN
 
 
 def polyphase_taps() -> np.ndarray:
@@ -269,7 +273,9 @@ def generate_keystream(n: int, seed: int = SCRAMBLER_SEED) -> np.ndarray:
     return out
 
 
-KEYSTREAM = generate_keystream(MAX_BURST_BITS)
+# 3 bits/symbol: the demod consumes whole symbols, so the keystream must
+# cover 3 * MAX_BURST_SYMBOLS bits (the trailing partial symbol included)
+KEYSTREAM = generate_keystream(3 * MAX_BURST_SYMBOLS)
 
 # ----------------------------------------------------------------------------
 # Erasure patterns for shortened last rows (vdlm2.c:64-82): nlbyte<=30 ->

@@ -1,0 +1,101 @@
+"""SDR front-end logic and capture-file input.
+
+The reference has no file input (initFile/runFileSample are dead
+declarations, vdlm2.h:110-111); this module supplies it, plus the
+center-frequency auto-choice semantics of the RTL front end (chooseFc,
+rtl.c:123-160) and the airspy fs/4 arrangement (air.c:44-70,182-185).
+
+Supported capture formats:
+  cu8      interleaved unsigned 8-bit I/Q (rtl_sdr output); converted with
+           the reference's empirical DC offset 127.37 (rtl.c:287-289)
+  cs16     interleaved signed 16-bit I/Q
+  cf32     interleaved float32 I/Q
+  f32real  float32 real samples (airspy FLOAT32_REAL)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import FREQ_MAX, FREQ_MIN, STEPRATE
+
+RTL_DC_OFFSET = 127.37
+
+
+def validate_freqs(freqs_hz: list[int]) -> list[int]:
+    """Keep only frequencies inside the aviation band (rtl.c:222)."""
+    return [f for f in freqs_hz if FREQ_MIN <= f <= FREQ_MAX]
+
+
+def choose_fc(freqs_hz: list[int], fs: int = 2_000_000) -> int:
+    """Center-frequency choice with the reference's constraints
+    (chooseFc, rtl.c:123-160): every channel within the usable span, at
+    least 2 channel-steps away from DC, and no two channels mirror-imaged
+    about Fc.  Scans downward from max(F)+2*STEP like the reference.
+    """
+    fd = sorted(freqs_hz)
+    if fd[-1] - fd[0] > fs - 4 * STEPRATE:
+        raise ValueError("Frequencies too far apart")
+    for fc in range(fd[-1] + 2 * STEPRATE, fd[0] - 2 * STEPRATE, -1):
+        ok = True
+        for n, f in enumerate(fd):
+            if abs(fc - f) > fs // 2 - 2 * STEPRATE:
+                ok = False
+                break
+            if abs(fc - f) < 2 * STEPRATE:
+                ok = False
+                break
+            if n > 0 and fc - fd[n - 1] == f - fc:
+                ok = False
+                break
+        if ok:
+            return fc
+    raise ValueError("No usable center frequency")
+
+
+def choose_fc_airspy(freqs_hz: list[int], fs: int) -> int:
+    """Airspy center choice (air.c:47-70) without the R820T2 IF-register
+    tuning side effects (no hardware here): center of the span rounded to
+    the 25 kHz raster.
+    """
+    lo, hi = min(freqs_hz), max(freqs_hz)
+    return ((lo + hi) // 2 + STEPRATE // 2) // STEPRATE * STEPRATE
+
+
+def read_capture(path: str, fmt: str, count: int = -1, offset: int = 0) -> np.ndarray:
+    """Read a capture file into complex64 (or float32 for f32real)."""
+    if fmt == "cu8":
+        raw = np.fromfile(path, dtype=np.uint8, count=count * 2 if count > 0 else -1,
+                          offset=offset * 2)
+        raw = raw[: len(raw) // 2 * 2].astype(np.float32) - RTL_DC_OFFSET
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if fmt == "cs16":
+        raw = np.fromfile(path, dtype=np.int16, count=count * 2 if count > 0 else -1,
+                          offset=offset * 4)
+        raw = raw[: len(raw) // 2 * 2].astype(np.float32)
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if fmt == "cf32":
+        raw = np.fromfile(path, dtype=np.float32, count=count * 2 if count > 0 else -1,
+                          offset=offset * 8)
+        raw = raw[: len(raw) // 2 * 2]
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if fmt == "f32real":
+        return np.fromfile(path, dtype=np.float32, count=count, offset=offset * 4)
+    raise ValueError(f"unknown capture format {fmt!r}")
+
+
+def write_capture(path: str, x: np.ndarray, fmt: str) -> None:
+    """Inverse of read_capture, for generating test/bench fixtures."""
+    if fmt == "cu8":
+        inter = np.empty(2 * len(x), dtype=np.float32)
+        inter[0::2] = np.real(x) + RTL_DC_OFFSET
+        inter[1::2] = np.imag(x) + RTL_DC_OFFSET
+        np.clip(np.round(inter), 0, 255).astype(np.uint8).tofile(path)
+    elif fmt == "cf32":
+        inter = np.empty(2 * len(x), dtype=np.float32)
+        inter[0::2] = np.real(x)
+        inter[1::2] = np.imag(x)
+        inter.tofile(path)
+    elif fmt == "f32real":
+        np.asarray(x, dtype=np.float32).tofile(path)
+    else:
+        raise ValueError(f"unknown capture format {fmt!r}")

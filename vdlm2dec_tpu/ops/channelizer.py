@@ -1,0 +1,186 @@
+"""Batched channelizer: mixer + integrate-and-dump decimator as MXU matmuls.
+
+The reference runs one thread per channel doing a scalar LO multiply and a
+fractional integrate-and-dump (21/SDRCLK accumulator, d8psk.c:353-381).  Here
+the same arithmetic is re-expressed block-parallel:
+
+  * the decimation pattern repeats every P_in = 4*SDRCLK input samples,
+    emitting exactly 84 output samples (1 ms at 84 kHz) — true for all three
+    supported input rates (2 Msps/500, 5 Msps/1250, 6 Msps/1500);
+  * within a period the "emit sample m = mean of inputs [b_m, b_{m+1})"
+    operation is a constant (P_in, 84) aggregation matrix A;
+  * the LO for channel c factorises as LO[c, p*P_in + n] =
+    phase[c, p] * lo0[c, n] because the reference's wrapped LO table length
+    (fs/25 kHz) divides P_in;
+
+so the whole channelizer is:  Y[c, p, :] = (x[p, :] * lo0[c, :] * phase[c, p]) @ A
+— an elementwise VPU pass plus one MXU matmul, batched over channels and
+periods, with no sequential state.
+
+Semantics checked against golden.dsp.mix_and_decimate in tests.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import STEPRATE
+
+TWO_PI = 2.0 * math.pi
+
+
+def period_for(sdrclk: int) -> tuple[int, int]:
+    """(input samples, output samples) of one decimation period."""
+    p_in = 4 * sdrclk
+    p_out = p_in * 21 // sdrclk          # = 84
+    assert p_in * 21 % sdrclk == 0
+    return p_in, p_out
+
+
+@functools.lru_cache(maxsize=8)
+def aggregation_matrix(sdrclk: int) -> np.ndarray:
+    """(P_in, 84) float32: A[n, m] = 1/len_m if input n feeds output m.
+
+    Window boundaries replicate the clk += 21; if clk >= SDRCLK emit pattern:
+    output m covers inputs n with floor(21*n/sdrclk) == m, i.e. the emit
+    happens at the sample where the accumulator crosses.
+    """
+    p_in, p_out = period_for(sdrclk)
+    # input n belongs to the output emitted at the next accumulator crossing;
+    # the number of crossings strictly before consuming n is floor(21n/sdrclk)
+    owner = (21 * np.arange(p_in)) // sdrclk   # output index owning input n
+    a = np.zeros((p_in, p_out), dtype=np.float64)
+    for m in range(p_out):
+        idx = np.nonzero(owner == m)[0]
+        a[idx, m] = 1.0 / len(idx)
+    return a.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def lo_tables(
+    f_offsets: tuple[float, ...], fs: int, sdrclk: int, wrap: bool
+) -> tuple[np.ndarray, int]:
+    """Per-channel base LO over one period: (C, P_in) complex64, + table len.
+
+    wrap=True replicates the reference's length fs/25kHz phase-wrapping LO
+    table; wrap=False is a continuous-phase LO (identical when the offset is
+    a multiple of 25 kHz).
+    """
+    p_in, _ = period_for(sdrclk)
+    tbl = fs // STEPRATE
+    assert p_in % tbl == 0 or not wrap
+    n = np.arange(p_in)
+    fo = np.asarray(f_offsets, dtype=np.float64)[:, None]
+    if wrap:
+        idx = n % tbl
+        lo = np.exp(-1j * TWO_PI * fo / fs * idx)
+    else:
+        lo = np.exp(-1j * TWO_PI * fo / fs * n)
+    return lo.astype(np.complex64), tbl
+
+
+def period_phases(
+    f_offsets: tuple[float, ...], fs: int, sdrclk: int, wrap: bool, n_periods: int,
+    start_period: int = 0,
+) -> np.ndarray:
+    """(C, B) complex64 phase of each period start.
+
+    With the reference's wrapped LO table the phase resets every table length
+    which divides P_in, so the per-period phase is exactly 1.  With the
+    continuous LO it advances by exp(-j*2pi*fo*P_in/fs) per period.
+    """
+    p_in, _ = period_for(sdrclk)
+    fo = np.asarray(f_offsets, dtype=np.float64)[:, None]
+    p = np.arange(start_period, start_period + n_periods)[None, :]
+    if wrap:
+        return np.ones((len(f_offsets), n_periods), dtype=np.complex64)
+    ang = -TWO_PI * fo * (p_in / fs) * p
+    return np.exp(1j * ang).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("interleave",))
+def _channelize_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a, interleave=False):
+    """Core: x (B, P_in) f32 pair, lo (C, P_in), ph (C, B), a (P_in, P_out).
+
+    Returns (C, B*P_out) complex64 as (real, imag) f32 pair.
+    All matmuls run in f32 on the MXU.
+    """
+    # mixed[c, b, n] = x[b, n] * lo[c, n]  (complex)
+    mr = x_r[None, :, :] * lo_r[:, None, :] - x_i[None, :, :] * lo_i[:, None, :]
+    mi = x_r[None, :, :] * lo_i[:, None, :] + x_i[None, :, :] * lo_r[:, None, :]
+    # apply period phase
+    zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
+    zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
+    # aggregate: (C, B, P_in) @ (P_in, P_out)
+    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32)
+    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32)
+    c = yr.shape[0]
+    return yr.reshape(c, -1), yi.reshape(c, -1)
+
+
+class Channelizer:
+    """Stateless-per-block wideband -> per-channel 84 kHz channelizer.
+
+    Parameters mirror the reference front end: fs (input rate), sdrclk
+    (decimator modulus, fs/4000), per-channel offsets Fo = Fr - Fc
+    (rtl.c:246) or Fr - (Fc + fs/4) (air.c:182-185).
+    """
+
+    def __init__(
+        self,
+        f_offsets: list[float],
+        fs: int = 2_000_000,
+        sdrclk: int | None = None,
+        lo_wrap: bool = True,
+        real_input: bool = False,
+    ):
+        self.fs = fs
+        self.sdrclk = sdrclk if sdrclk is not None else fs // 4000
+        self.f_offsets = tuple(float(f) for f in f_offsets)
+        self.lo_wrap = lo_wrap
+        self.real_input = real_input
+        self.p_in, self.p_out = period_for(self.sdrclk)
+        lo, _ = lo_tables(self.f_offsets, fs, self.sdrclk, lo_wrap)
+        self._lo = lo
+        self._a = jnp.asarray(aggregation_matrix(self.sdrclk))
+        self._period_cursor = 0
+
+    @property
+    def n_channels(self) -> int:
+        return len(self.f_offsets)
+
+    def out_rate(self) -> float:
+        return self.fs * 21.0 / self.sdrclk
+
+    def __call__(self, x: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """x: (T,) wideband block, T a multiple of P_in.  Returns
+        (C, T*21/sdrclk) complex64 decimated channels."""
+        t = x.shape[-1]
+        assert t % self.p_in == 0, f"block length {t} not a multiple of {self.p_in}"
+        b = t // self.p_in
+        ph = period_phases(
+            self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b, self._period_cursor
+        )
+        self._period_cursor += b
+        x = jnp.asarray(x)
+        if self.real_input or not jnp.iscomplexobj(x):
+            x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
+            x_i = jnp.zeros_like(x_r)
+        else:
+            x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
+            x_i = x.imag.astype(jnp.float32).reshape(b, self.p_in)
+        yr, yi = _channelize_jit(
+            x_r, x_i,
+            jnp.asarray(self._lo.real), jnp.asarray(self._lo.imag),
+            jnp.asarray(ph.real), jnp.asarray(ph.imag),
+            self._a,
+        )
+        return yr + 1j * yi
+
+    def reset(self) -> None:
+        self._period_cursor = 0

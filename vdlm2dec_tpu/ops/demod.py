@@ -1,0 +1,205 @@
+"""Vectorised D8PSK sync search + burst demodulation.
+
+Re-expresses the reference's per-sample state machine (demodD8psk,
+d8psk.c:232-333) as block-parallel array programs:
+
+  * polyphase matched filter (filteredphase, d8psk.c:219-230) -> one
+    batched 17-tap complex FIR per polyphase branch;
+  * sync metric (d8psk.c:241-291): computed at *every* half-symbol position
+    in parallel — unwrap via cumulative +-2pi steps, closed-form LS slope,
+    residual energy;
+  * trigger rule (d8psk.c:292): local minimum below 4.0 via the same
+    perr/p2err hysteresis, evaluated vectorially;
+  * per-candidate burst demod: gather a max-length symbol window, matched
+    filter at the recovered timing phase, differential phase with CFO
+    correction, Gray soft bits (d8psk.c:314-332, 211-217), soft descramble.
+
+The candidate set is a superset of the reference's (the reference suspends
+sync search while decoding a burst); overlapping candidates are filtered
+greedily after header decode (pipeline.py), reproducing the serial decoder's
+first-trigger-wins behaviour.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    D8PSK_BITS,  # noqa: F401  (documentation cross-ref)
+    GRAY_TABLES,
+    KEYSTREAM,
+    MAX_BURST_BITS,
+    MBUFLEN,
+    MFLT,
+    NBPH,
+    POLYPHASE,
+    SPS,
+    SYNC_PHASES,
+    SYNC_THRESHOLD,
+)
+
+TWO_PI = 2.0 * math.pi
+PI = math.pi
+
+# taps for trigger-time filteredphase with clk0 in 0..12 (clk0 = round(of),
+# of in (4,12]); row c: mflt[c + 4j], zero-padded
+_EXT_TAPS = np.zeros((13, MBUFLEN), dtype=np.float32)
+for _c in range(13):
+    _t = MFLT[_c::4]
+    _EXT_TAPS[_c, : len(_t)] = _t
+
+_POLY32 = POLYPHASE.astype(np.float32)           # (4, 17)
+_GRAY32 = GRAY_TABLES.astype(np.float32)         # (3, 257)
+_SW32 = SYNC_PHASES.astype(np.float32)           # (17,)
+_KS = KEYSTREAM.astype(np.bool_)                 # (MAX_BURST_BITS,)
+
+# LS slope normaliser: sum over l of (l-8)^2 = 408 (d8psk.c:283)
+_SLOPE_NORM = 408.0
+
+
+def polyphase_filter(y: jnp.ndarray) -> jnp.ndarray:
+    """(C, T) complex -> (C, 4, T) filtered complex, all 4 polyphases.
+
+    Output index t corresponds to the filter applied to y[t-16 .. t]
+    (the ring ends at sample t); entries t < 16 use zero history.
+    """
+    c, t = y.shape
+    taps = jnp.asarray(_POLY32)                   # (4, 17)
+    yp = jnp.pad(y, ((0, 0), (16, 0)))
+    # windows w[t, j] = y[t-16+j]; F[phase, t] = sum_j w[t, j] * taps[phase, j]
+    # implemented as a conv: correlate with reversed taps
+    def conv_phase(sig):
+        # sig (C, T+16); out (C, 4, T).  conv_general_dilated correlates
+        # (no kernel flip): out[t] = sum_j sig[t+j] * taps[j] = the filter
+        # over the ring y[t-16 .. t] oldest-first, matching filteredphase
+        return jax.lax.conv_general_dilated(
+            sig[:, None, :],
+            jnp.asarray(taps)[:, None, :].astype(sig.dtype),
+            window_strides=(1,),
+            padding="VALID",
+        )
+
+    fr = conv_phase(yp.real.astype(jnp.float32))
+    fi = conv_phase(yp.imag.astype(jnp.float32))
+    return fr + 1j * fi
+
+
+def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sync residual + slope at every position.
+
+    p0: (C, T) phase of polyphase-0 filter output.
+    Returns (err, fr): (C, T) each; position t uses the 17 phases at
+    t-128, t-120, ..., t (symbol stride 8), i.e. the window *ending* at t.
+    Entries with t < 128 are garbage (caller masks).
+    """
+    c, t = p0.shape
+    pad = jnp.pad(p0, ((0, 0), (128, 0)))
+    # a[l] windows: (C, 17, T)
+    idx = jnp.arange(t)[None, :] + jnp.arange(0, 17 * 8, 8)[:, None]  # (17, T)
+    a = pad[:, idx] - jnp.asarray(_SW32)[None, :, None]               # (C,17,T)
+    pd = a[:, 1:, :] - a[:, :-1, :]
+    steps = jnp.where(pd > PI, -TWO_PI, jnp.where(pd < -PI, TWO_PI, 0.0))
+    pu = jnp.cumsum(steps, axis=1)
+    pr = jnp.concatenate([a[:, :1, :], a[:, 1:, :] + pu], axis=1)
+    m = jnp.mean(pr, axis=1, keepdims=True)
+    prc = pr - m
+    l8 = (jnp.arange(17, dtype=jnp.float32) - 8.0)[None, :, None]
+    fr = jnp.sum(prc * l8, axis=1) / _SLOPE_NORM                      # (C, T)
+    e = prc - l8 * fr[:, None, :]
+    err = jnp.sum(e * e, axis=1)
+    return err, fr
+
+
+def find_triggers(
+    err: jnp.ndarray,
+    fr: jnp.ndarray,
+    max_candidates: int,
+    first_valid: int = 150,
+    threshold: float = SYNC_THRESHOLD,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Earliest max_candidates trigger positions per channel.
+
+    The reference evaluates the metric every 2nd decimated sample (odd t with
+    our indexing: first metric after 2 samples) and fires when the previous
+    metric was below threshold and the current one increased (d8psk.c:292).
+
+    Returns (t0, of, df, valid): each (C, K).
+      t0: decimated-sample index of the trigger (phase consumed at t0)
+      of: parabolic timing offset (quarter-sample units, d8psk.c:303-305)
+      df: frequency offset = slope at the *previous* position (pfr)
+    """
+    c, t = err.shape
+    tt = jnp.arange(t)
+    metric_pos = (tt % 2 == 1) & (tt >= first_valid)
+    e0 = err
+    e1 = jnp.pad(err, ((0, 0), (2, 0)))[:, :t]      # err at t-2 (perr)
+    e2 = jnp.pad(err, ((0, 0), (4, 0)))[:, :t]      # err at t-4 (p2err)
+    f1 = jnp.pad(fr, ((0, 0), (2, 0)))[:, :t]       # fr at t-2  (pfr)
+    trig = metric_pos[None, :] & (e1 < threshold) & (e0 > e1)
+    # earliest K trigger indices: sort masked positions
+    pos = jnp.where(trig, tt[None, :], t + 1)
+    t0 = jax.lax.sort(pos, dimension=1)[:, :max_candidates]
+    valid = t0 <= t
+    t0c = jnp.minimum(t0, t - 1)
+    ge2 = jnp.take_along_axis(e2, t0c, axis=1)
+    ge1 = jnp.take_along_axis(e1, t0c, axis=1)
+    ge0 = jnp.take_along_axis(e0, t0c, axis=1)
+    df = jnp.take_along_axis(f1, t0c, axis=1)
+    of = 4.0 * (ge2 - 4.0 * ge1 + 3.0 * ge0) / (ge2 - 2.0 * ge1 + ge0)
+    return t0c, of, df, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_symbols",))
+def demod_candidates(
+    y: jnp.ndarray,
+    t0: jnp.ndarray,
+    of: jnp.ndarray,
+    df: jnp.ndarray,
+    max_symbols: int,
+) -> jnp.ndarray:
+    """Demodulate (C, K) candidates from (C, T) decimated streams.
+
+    Returns descrambled soft bits (C, K, 3*max_symbols) in [0,1]
+    (P(bit = 1)), replicating putgreycode+descrambler semantics.
+    """
+    c, t = y.shape
+    k = t0.shape[1]
+    w = 17 + 7 + 8 * max_symbols          # window: ring history + max span
+    ypad = jnp.pad(y, ((0, 0), (16, w)))  # left: ring history; right: overrun
+
+    def one(yc, t0c, ofc, dfc):
+        # window starts at t0-16 (oldest ring sample) -> index t0 in ypad
+        win = jax.lax.dynamic_slice(yc, (t0c,), (w,))     # win[j] = y[t0-16+j]
+        clk0 = jnp.floor(ofc + 0.5).astype(jnp.int32)     # roundf
+        clk0 = jnp.clip(clk0, 0, 12)
+        # P1: filteredphase with tap offset clk0 over the ring ending at t0
+        taps1 = jnp.asarray(_EXT_TAPS)[clk0]              # (17,)
+        s1v = jnp.sum(win[:17] * taps1)
+        p1 = jnp.arctan2(s1v.imag, s1v.real)
+        # symbol sampling: first emission s1 samples after trigger, phase phi
+        phi = clk0 % 4
+        s1 = (32 - clk0 + 3) // 4
+        taps = jnp.asarray(_POLY32)[phi]                  # (17,)
+        # symbol n ring = win[s1 + 8n .. s1 + 8n + 16]
+        base = s1 + 8 * jnp.arange(max_symbols)           # (S,)
+        gat = base[:, None] + jnp.arange(17)[None, :]     # (S, 17)
+        rings = win[gat]                                  # (S, 17)
+        f = rings @ taps.astype(rings.dtype)              # (S,)
+        p = jnp.arctan2(f.imag, f.real)
+        pprev = jnp.concatenate([jnp.array([p1], dtype=p.dtype), p[:-1]])
+        d = (p - pprev) - dfc
+        d = jnp.where(d > PI, d - TWO_PI, d)
+        d = jnp.where(d < -PI, d + TWO_PI, d)
+        gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
+        g = jnp.asarray(_GRAY32)                          # (3, 257)
+        soft = g[:, gi].T.reshape(-1)                     # (S*3,) bit order b0,b1,b2
+        # descramble
+        ks = jnp.asarray(_KS[: soft.shape[0]])
+        return jnp.where(ks, 1.0 - soft, soft)
+
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0)))(ypad, t0, of, df)
