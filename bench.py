@@ -1,0 +1,129 @@
+"""Benchmark: wideband IQ decode throughput on one chip.
+
+Measures the full device pipeline (channelizer -> polyphase filter -> sync
+scan -> candidate demod -> header -> assembly -> RS) on a realistic 2 Msps /
+8-channel VDL-M2 load (the reference's maximum configuration, which it
+decodes in real time on a CPU: 2.0 Msamples/s).  Host->device transfer of
+the raw IQ block is included in the timed loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = achieved Msamples/s / 2.0 (the reference's real-time rate).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
+    """Wideband capture with periodic bursts on every channel."""
+    from vdlm2dec_tpu import modulator as mod
+    from vdlm2dec_tpu.constants import DEMOD_RATE
+
+    rng = np.random.default_rng(seed)
+    freqs = [136_600_000 + 25_000 * (2 * i) for i in range(n_channels)]
+    fc = 136_487_500
+    total_wide = int(fs * seconds)
+    total_bb = int(DEMOD_RATE * seconds)
+    wide = np.zeros(total_wide, dtype=np.complex128)
+    n_bursts = 0
+    for ci, f in enumerate(freqs):
+        bb = np.zeros(total_bb, dtype=np.complex128)
+        pos = 500 + 977 * ci
+        while pos + 3000 < total_bb:
+            content = rng.integers(0, 256, int(rng.integers(20, 120))).astype(np.uint8)
+            plan = mod.make_burst([content])
+            burst = mod.synthesize_baseband(plan, start=0, total=None)
+            seg = min(len(burst), total_bb - pos)
+            bb[pos : pos + seg] += burst[:seg]
+            n_bursts += 1
+            pos += len(burst) + int(rng.integers(2000, 12000))
+        wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total_wide)
+    noise = rng.normal(size=total_wide) + 1j * rng.normal(size=total_wide)
+    wide = (wide + 0.02 * noise).astype(np.complex64)
+    return wide, freqs, fc, n_bursts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
+    ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--channels", type=int, default=8)
+    ap.add_argument("--max-symbols", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig, _device_decode_jit
+
+    if args.quick:
+        args.seconds, args.iters, args.max_symbols = 0.25, 2, 256
+
+    fs = 2_000_000
+    wide, freqs, fc, n_bursts = make_capture(fs, args.channels, args.seconds)
+
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs],
+        fs=fs,
+        fc_hz=float(fc),
+        lo_wrap=False,
+        max_candidates=32,
+        max_symbols=args.max_symbols,
+    )
+    pipe = Pipeline(cfg)
+    p_in = pipe.channelizer.p_in
+    t = len(wide) - len(wide) % p_in
+    wide = wide[:t]
+
+    # correctness sanity + warm-up compile
+    bursts = pipe.decode_wideband(wide)
+    n_frames = sum(len(b.frames) for b in bursts)
+    print(
+        f"# sanity: {n_bursts} bursts synthesized, {n_frames} frames decoded",
+        file=sys.stderr,
+    )
+
+    dev = jax.devices()[0]
+
+    def step(x_host):
+        x = jax.device_put(x_host, dev)
+        y = pipe.channelizer(x)
+        return _device_decode_jit(y, cfg.max_candidates, cfg.max_symbols)
+
+    # warm-up the exact timed path
+    r = step(wide)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        r = step(wide)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = t * args.iters / dt
+    msps = samples_per_s / 1e6
+    print(
+        f"# {dt:.3f}s for {args.iters} x {t} samples "
+        f"({args.channels} ch): {msps:.1f} Msps",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "wideband_iq_decode_throughput",
+                "value": round(msps, 2),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msps / 2.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

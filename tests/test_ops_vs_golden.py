@@ -13,6 +13,8 @@ from vdlm2dec_tpu.ops.channelizer import Channelizer
 from vdlm2dec_tpu.ops.demod import (
     demod_candidates,
     find_triggers,
+    pack_complex,
+    phase_of,
     polyphase_filter,
     sync_scan,
 )
@@ -30,10 +32,11 @@ def test_channelizer_matches_reference_decimator():
     offsets = [25_000.0, -75_000.0, 150_000.0]
     chan = Channelizer(offsets, fs=fs, sdrclk=sdrclk, lo_wrap=True)
     y = np.asarray(chan(x))
+    yc = y[..., 0] + 1j * y[..., 1]
     for ci, fo in enumerate(offsets):
         ref = mix_and_decimate(x, fo, fs, sdrclk, lo_table_wrap=True)
-        assert y.shape[1] == len(ref)
-        np.testing.assert_allclose(y[ci], ref, atol=2e-5)
+        assert yc.shape[1] == len(ref)
+        np.testing.assert_allclose(yc[ci], ref, atol=2e-5)
 
 
 def test_channelizer_streaming_continuity():
@@ -57,9 +60,10 @@ def test_channelizer_airspy_rates():
         x = (rng.normal(size=2 * p)).astype(np.float32)   # real input
         chan = Channelizer([-1_200_000.0], fs=fs, sdrclk=sdrclk, real_input=True)
         y = np.asarray(chan(x))
+        yc = y[..., 0] + 1j * y[..., 1]
         ref = mix_and_decimate(x.astype(np.complex64), -1_200_000.0, fs, sdrclk)
-        assert y.shape[1] == len(ref) == 168
-        np.testing.assert_allclose(y[0], ref, atol=2e-5)
+        assert yc.shape[1] == len(ref) == 168
+        np.testing.assert_allclose(yc[0], ref, atol=2e-5)
 
 
 # ---------------------------------------------------------------------------
@@ -80,9 +84,9 @@ def test_sync_metric_matches_golden():
     sig = mod.awgn(sig, 18.0, rng)
     gch = _golden_trace(sig)
 
-    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    y = jnp.asarray(pack_complex(sig[None, :]))
     f = polyphase_filter(y)
-    p0 = np.asarray(jnp.angle(f[:, 0, :]))[0]
+    p0 = np.asarray(phase_of(f[:, 0]))[0]
     err, fr = sync_scan(jnp.asarray(p0[None, :]))
     err, fr = np.asarray(err)[0], np.asarray(fr)[0]
 
@@ -111,9 +115,9 @@ def test_triggers_match_golden():
     assert len(gch.bursts) == 1
     gb = gch.bursts[0]
 
-    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    y = jnp.asarray(pack_complex(sig[None, :]))
     f = polyphase_filter(y)
-    err, fr = sync_scan(jnp.angle(f[:, 0, :]))
+    err, fr = sync_scan(phase_of(f[:, 0]))
     t0, of, df, valid = find_triggers(err, fr, 4)
     t0 = np.asarray(t0)[0]
     assert valid[0, 0]
@@ -137,9 +141,9 @@ def test_demod_block_matches_golden():
     gb = gch.bursts[0]
 
     max_symbols = 1024
-    y = jnp.asarray(sig[None, :], dtype=jnp.complex64)
+    y = jnp.asarray(pack_complex(sig[None, :]))
     f = polyphase_filter(y)
-    err, fr = sync_scan(jnp.angle(f[:, 0, :]))
+    err, fr = sync_scan(phase_of(f[:, 0]))
     t0, of, df, valid = find_triggers(err, fr, 4)
     soft = demod_candidates(y, t0, of, df, max_symbols)
     flat = np.asarray(soft)[0, 0]

@@ -159,7 +159,9 @@ class Channelizer:
 
     def __call__(self, x: np.ndarray | jnp.ndarray) -> jnp.ndarray:
         """x: (T,) wideband block, T a multiple of P_in.  Returns
-        (C, T*21/sdrclk) complex64 decimated channels."""
+        (C, T*21/sdrclk, 2) float32 decimated channels (re/im planes —
+        the device pipeline is complex-free by design: XLA lowers complex
+        to real pairs anyway and f32 planes keep TPU layouts clean)."""
         t = x.shape[-1]
         assert t % self.p_in == 0, f"block length {t} not a multiple of {self.p_in}"
         b = t // self.p_in
@@ -167,20 +169,28 @@ class Channelizer:
             self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b, self._period_cursor
         )
         self._period_cursor += b
-        x = jnp.asarray(x)
-        if self.real_input or not jnp.iscomplexobj(x):
-            x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
-            x_i = jnp.zeros_like(x_r)
+        if isinstance(x, np.ndarray):
+            x_r = np.ascontiguousarray(x.real, dtype=np.float32).reshape(b, self.p_in)
+            if self.real_input or not np.iscomplexobj(x):
+                x_i = np.zeros_like(x_r)
+            else:
+                x_i = np.ascontiguousarray(x.imag, dtype=np.float32).reshape(b, self.p_in)
+            x_r, x_i = jnp.asarray(x_r), jnp.asarray(x_i)
         else:
-            x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
-            x_i = x.imag.astype(jnp.float32).reshape(b, self.p_in)
+            x = jnp.asarray(x)
+            if self.real_input or not jnp.iscomplexobj(x):
+                x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
+                x_i = jnp.zeros_like(x_r)
+            else:
+                x_r = x.real.astype(jnp.float32).reshape(b, self.p_in)
+                x_i = x.imag.astype(jnp.float32).reshape(b, self.p_in)
         yr, yi = _channelize_jit(
             x_r, x_i,
             jnp.asarray(self._lo.real), jnp.asarray(self._lo.imag),
             jnp.asarray(ph.real), jnp.asarray(ph.imag),
             self._a,
         )
-        return yr + 1j * yi
+        return jnp.stack([yr, yi], axis=-1)
 
     def reset(self) -> None:
         self._period_cursor = 0

@@ -62,31 +62,40 @@ _KS = KEYSTREAM.astype(np.bool_)                 # (MAX_BURST_BITS,)
 _SLOPE_NORM = 408.0
 
 
+def pack_complex(x: np.ndarray) -> np.ndarray:
+    """Host complex -> (..., 2) f32 re/im planes (device convention)."""
+    return np.stack(
+        [np.asarray(x.real, np.float32), np.asarray(x.imag, np.float32)], axis=-1
+    )
+
+
 def polyphase_filter(y: jnp.ndarray) -> jnp.ndarray:
-    """(C, T) complex -> (C, 4, T) filtered complex, all 4 polyphases.
+    """(C, T, 2) re/im -> (C, 4, T, 2) filtered, all 4 polyphases.
 
     Output index t corresponds to the filter applied to y[t-16 .. t]
     (the ring ends at sample t); entries t < 16 use zero history.
+    The whole device pipeline is complex-free: filtering acts on the re/im
+    planes independently.
     """
-    c, t = y.shape
+    c, t, _ = y.shape
     taps = jnp.asarray(_POLY32)                   # (4, 17)
-    yp = jnp.pad(y, ((0, 0), (16, 0)))
-    # windows w[t, j] = y[t-16+j]; F[phase, t] = sum_j w[t, j] * taps[phase, j]
-    # implemented as a conv: correlate with reversed taps
-    def conv_phase(sig):
-        # sig (C, T+16); out (C, 4, T).  conv_general_dilated correlates
-        # (no kernel flip): out[t] = sum_j sig[t+j] * taps[j] = the filter
-        # over the ring y[t-16 .. t] oldest-first, matching filteredphase
-        return jax.lax.conv_general_dilated(
-            sig[:, None, :],
-            jnp.asarray(taps)[:, None, :].astype(sig.dtype),
-            window_strides=(1,),
-            padding="VALID",
-        )
+    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))
+    # conv_general_dilated correlates (no kernel flip):
+    # out[t] = sum_j sig[t+j] * taps[j] — the ring y[t-16..t] oldest-first,
+    # matching filteredphase.  re/im fold into the batch dim.
+    sig = yp.transpose(0, 2, 1).reshape(c * 2, 1, t + 16).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        sig,
+        taps[:, None, :].astype(jnp.float32),
+        window_strides=(1,),
+        padding="VALID",
+    )                                             # (C*2, 4, T)
+    return out.reshape(c, 2, 4, t).transpose(0, 2, 3, 1)
 
-    fr = conv_phase(yp.real.astype(jnp.float32))
-    fi = conv_phase(yp.imag.astype(jnp.float32))
-    return fr + 1j * fi
+
+def phase_of(f: jnp.ndarray) -> jnp.ndarray:
+    """atan2 phase of a (..., 2) re/im array."""
+    return jnp.arctan2(f[..., 1], f[..., 0])
 
 
 def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -161,45 +170,49 @@ def demod_candidates(
     of: jnp.ndarray,
     df: jnp.ndarray,
     max_symbols: int,
+    f_all: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Demodulate (C, K) candidates from (C, T) decimated streams.
 
     Returns descrambled soft bits (C, K, 3*max_symbols) in [0,1]
     (P(bit = 1)), replicating putgreycode+descrambler semantics.
-    """
-    c, t = y.shape
-    k = t0.shape[1]
-    w = 17 + 7 + 8 * max_symbols          # window: ring history + max span
-    ypad = jnp.pad(y, ((0, 0), (16, w)))  # left: ring history; right: overrun
 
-    def one(yc, t0c, ofc, dfc):
-        # window starts at t0-16 (oldest ring sample) -> index t0 in ypad
-        win = jax.lax.dynamic_slice(yc, (t0c,), (w,))     # win[j] = y[t0-16+j]
-        clk0 = jnp.floor(ofc + 0.5).astype(jnp.int32)     # roundf
-        clk0 = jnp.clip(clk0, 0, 12)
+    The symbol-rate matched-filter values come from the full-stream
+    polyphase filter bank (computed once, gathered per symbol) — identical
+    values to filtering per-candidate windows, at a fraction of the memory.
+    f_all: optional precomputed polyphase_filter(y) to share with sync scan.
+    y is (C, T, 2) re/im planes; f_all (C, 4, T, 2).
+    """
+    c, t, _ = y.shape
+    overrun = 7 + 8 * max_symbols         # samples past t0 a burst may reach
+    if f_all is None:
+        f_all = polyphase_filter(y)       # (C, 4, T, 2)
+    fpad = jnp.pad(f_all, ((0, 0), (0, 0), (0, overrun), (0, 0)))
+    ypad = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))  # ring history for P1
+
+    def one(fc, yc, t0c, ofc, dfc):
+        clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)  # roundf
         # P1: filteredphase with tap offset clk0 over the ring ending at t0
-        taps1 = jnp.asarray(_EXT_TAPS)[clk0]              # (17,)
-        s1v = jnp.sum(win[:17] * taps1)
-        p1 = jnp.arctan2(s1v.imag, s1v.real)
+        win = jax.lax.dynamic_slice(yc, (t0c, 0), (17, 2))  # y[t0-16 .. t0]
+        taps1 = jnp.asarray(_EXT_TAPS)[clk0]
+        s1v = jnp.sum(win * taps1[:, None], axis=0)         # (2,)
+        p1 = jnp.arctan2(s1v[1], s1v[0])
         # symbol sampling: first emission s1 samples after trigger, phase phi
         phi = clk0 % 4
         s1 = (32 - clk0 + 3) // 4
-        taps = jnp.asarray(_POLY32)[phi]                  # (17,)
-        # symbol n ring = win[s1 + 8n .. s1 + 8n + 16]
-        base = s1 + 8 * jnp.arange(max_symbols)           # (S,)
-        gat = base[:, None] + jnp.arange(17)[None, :]     # (S, 17)
-        rings = win[gat]                                  # (S, 17)
-        f = rings @ taps.astype(rings.dtype)              # (S,)
-        p = jnp.arctan2(f.imag, f.real)
-        pprev = jnp.concatenate([jnp.array([p1], dtype=p.dtype), p[:-1]])
+        pos = t0c + s1 + 8 * jnp.arange(max_symbols)      # (S,)
+        f = fc[phi, pos]                                  # (S, 2)
+        p = jnp.arctan2(f[:, 1], f[:, 0])
+        pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
         d = (p - pprev) - dfc
         d = jnp.where(d > PI, d - TWO_PI, d)
         d = jnp.where(d < -PI, d + TWO_PI, d)
         gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
         g = jnp.asarray(_GRAY32)                          # (3, 257)
-        soft = g[:, gi].T.reshape(-1)                     # (S*3,) bit order b0,b1,b2
-        # descramble
+        soft = g[:, gi].T.reshape(-1)                     # (S*3,) order b0,b1,b2
         ks = jnp.asarray(_KS[: soft.shape[0]])
         return jnp.where(ks, 1.0 - soft, soft)
 
-    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0)))(ypad, t0, of, df)
+    return jax.vmap(jax.vmap(one, in_axes=(None, None, 0, 0, 0)))(
+        fpad, ypad, t0, of, df
+    )

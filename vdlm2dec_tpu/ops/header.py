@@ -42,8 +42,11 @@ def header_decode(soft: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
 
     perm = jnp.asarray(_PERM)
 
-    init = jnp.full((n, HEADER_STATES), _NEG, dtype=jnp.float32)
-    init = init.at[:, 0].set(0.0)
+    # derive the initial carry from the (possibly sharded) input so its
+    # varying-manual-axes match inside shard_map
+    init = jnp.where(
+        jnp.arange(HEADER_STATES)[None, :] == 0, 0.0, _NEG
+    ).astype(jnp.float32) + 0.0 * l1[:, :1]
 
     states = jnp.arange(HEADER_STATES)
 
@@ -66,7 +69,7 @@ def header_decode(soft: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
         prev = jnp.where(b, pm[state], state)
         return prev, b
 
-    s0 = jnp.zeros((n,), dtype=jnp.int32)
+    s0 = (jnp.argmax(final, axis=1) * 0).astype(jnp.int32)   # varying zero
     _, dec = jax.lax.scan(back, s0, (bits[::-1], perm[::-1]))
     # dec[i] = transmitted bit index 24-i.  Length bits are b3..b19 LSB-first.
     tx = dec[::-1].astype(jnp.int32)       # (25, N), tx[n] = bit n

@@ -26,7 +26,14 @@ from .constants import DEMOD_RATE, MAX_BURST_SYMBOLS, RS_K, SPS
 from .golden.codec import Unstuffer, frame_crc_ok
 from .ops.assembly import MAX_TX_BYTES, assemble_blocks
 from .ops.channelizer import Channelizer
-from .ops.demod import demod_candidates, find_triggers, polyphase_filter, sync_scan
+from .ops.demod import (
+    demod_candidates,
+    find_triggers,
+    pack_complex,
+    phase_of,
+    polyphase_filter,
+    sync_scan,
+)
 from .ops.header import header_decode
 from .ops.rs_fec import rs_decode_rows
 
@@ -59,18 +66,19 @@ class PipelineConfig:
     max_candidates: int = 16               # sync candidates per channel/block
     max_symbols: int = MAX_BURST_SYMBOLS   # burst demod window
     sdrclk: int | None = None
+    mesh: object | None = None             # jax.sharding.Mesh for multi-chip
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
 
 
 def _device_decode(y, max_candidates: int, max_symbols: int):
-    """All device stages on a (C, T) decimated block."""
+    """All device stages on a (C, T, 2) decimated block (re/im planes)."""
     f = polyphase_filter(y)
-    p0 = jnp.angle(f[:, 0, :])
+    p0 = phase_of(f[:, 0])
     err, fr = sync_scan(p0)
     t0, of, df, valid = find_triggers(err, fr, max_candidates)
-    soft = demod_candidates(y, t0, of, df, max_symbols)
+    soft = demod_candidates(y, t0, of, df, max_symbols, f_all=f)
     c, k, nb = soft.shape
     flat = soft.reshape(c * k, nb)
     length, nbrow, nlbyte, ok = header_decode(flat[:, :25])
@@ -133,6 +141,15 @@ class Pipeline:
             lo_wrap=cfg.lo_wrap,
             real_input=cfg.real_input,
         )
+        self._sharded = None
+        if cfg.mesh is not None:
+            from .parallel.sharding import ShardedDecoder
+
+            self._sharded = ShardedDecoder(
+                cfg.mesh,
+                max_candidates=cfg.max_candidates,
+                max_symbols=cfg.max_symbols,
+            )
 
     # -- single-shot decode of a full capture --------------------------------
     def decode_wideband(self, x: np.ndarray) -> list[DecodedBurst]:
@@ -140,12 +157,17 @@ class Pipeline:
         t = len(x)
         if t % p_in:
             x = np.pad(x, (0, p_in - t % p_in))
-        y = self.channelizer(x)
-        return self.decode_channels(np.asarray(y))
+        y = self.channelizer(x)          # (C, T84, 2) device array
+        return self.decode_channels(y)
 
     def decode_channels(self, y: np.ndarray) -> list[DecodedBurst]:
-        """y: (C, T) decimated 84 kHz complex streams."""
-        out = self._decode_block(jnp.asarray(y, dtype=jnp.complex64))
+        """y: (C, T) complex or (C, T, 2) re/im decimated 84 kHz streams."""
+        if isinstance(y, np.ndarray) and np.iscomplexobj(y):
+            y = pack_complex(y)
+        if self._sharded is not None:
+            out = self._sharded.decode(y)
+        else:
+            out = self._decode_block(jnp.asarray(y, dtype=jnp.float32))
         return self._finish(out, t_offset=0)
 
     def _decode_block(self, y: jnp.ndarray):
