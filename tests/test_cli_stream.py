@@ -1,0 +1,90 @@
+"""Streaming pipeline + CLI end-to-end tests."""
+import io
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from vdlm2dec_tpu import framegen as fg
+from vdlm2dec_tpu import modulator as mod
+from vdlm2dec_tpu.golden.codec import frame_fcs
+from vdlm2dec_tpu.io.sdr import read_capture, write_capture
+from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+
+def test_stream_matches_single_shot():
+    """Block streaming with cross-block bursts == one-shot decode."""
+    rng = np.random.default_rng(0)
+    total = 6 * 8400
+    sig = np.zeros(total, dtype=np.complex128)
+    contents = []
+    for st in (2000, 8300 * 2, 8400 * 4 + 100):    # one near a block seam
+        c = rng.integers(0, 256, 30).astype(np.uint8)
+        contents.append(c)
+        plan = mod.make_burst([c])
+        sig += mod.synthesize_baseband(plan, start=st, total=total)
+    sig = mod.awgn(sig, 15.0, rng)
+
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=512, max_candidates=8)
+    pipe = Pipeline(cfg)
+    one = pipe.decode_channels(sig[None, :].astype(np.complex64))
+    one_frames = sorted(tuple(f.tolist()) for b in one for f in b.frames)
+    assert len(one_frames) == 3
+
+    pipe2 = Pipeline(cfg)
+    stream_frames = []
+    for bursts in pipe2.stream_channels(
+        sig[None, :].astype(np.complex64), core_len=8400
+    ):
+        stream_frames.extend(tuple(f.tolist()) for b in bursts for f in b.frames)
+    assert sorted(stream_frames) == one_frames
+
+
+def test_capture_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64) * 20
+    p = tmp_path / "cap.cu8"
+    write_capture(str(p), x, "cu8")
+    back = read_capture(str(p), "cu8")
+    assert len(back) == 1000
+    # cu8 quantisation: ~1 LSB accuracy
+    np.testing.assert_allclose(back.real, np.clip(np.round(x.real + 127.37) - 127.37, -127.37, 127.63), atol=0.51)
+
+    p2 = tmp_path / "cap.cf32"
+    write_capture(str(p2), x, "cf32")
+    np.testing.assert_allclose(read_capture(str(p2), "cf32"), x, atol=1e-6)
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    """Full CLI run on a synthesized cu8 capture: JSON output."""
+    from vdlm2dec_tpu.cli import main
+
+    rng = np.random.default_rng(2)
+    fs = 2_000_000
+    freq = 136_975_000
+    fc = 136_900_000
+    content = fg.acars_frame(text="CLI TEST", label="Q0", reg=".FHBND")
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=800, total=3 * 8400)
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc) * 40.0
+    wide += (rng.normal(size=len(wide)) + 1j * rng.normal(size=len(wide))) * 1.0
+    cap = tmp_path / "test.cu8"
+    write_capture(str(cap), wide, "cu8")
+
+    log = tmp_path / "out.log"
+    rc = main([
+        "136.975", "--iq", str(cap), "--format", "cu8",
+        "--fc", str(fc), "--max-rows", "2",
+        "-J", "-i", "TESTSTN", "-l", str(log),
+        "--start-time", "1700000000",
+    ])
+    assert rc == 0
+    lines = [l for l in log.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    obj = json.loads(lines[0])
+    assert obj["text"] == "CLI TEST"
+    assert obj["station_id"] == "TESTSTN"
+    assert obj["freq"] == 136.975
+    assert obj["hex"] == "3C6544"

@@ -1,0 +1,158 @@
+"""Command-line decoder: vdlm2dec-compatible flag surface + file input.
+
+Mirrors the reference CLI (main.c:63-104,126-198) 1:1 where meaningful for an
+offline/TPU decoder, and adds the capture-file input the reference lacks
+(initFile/runFileSample are dead declarations, vdlm2.h:110-111):
+
+  -v / -q            verbose / quiet
+  -J                 JSON output
+  -R                 flight-route/registration JSON (implies -J)
+  -a                 registration CSV to stdout (disables JSON)
+  -G -E -U           ground / empty / undecoded message passthrough
+  -b lbl:lbl         ACARS label filter
+  -i station_id      station id for JSON
+  -j addr:port       UDP JSON feed
+  -s addr:port       TCP SBS feed
+  -l logfile         log file (append)
+  frequencies (MHz)  positional, 118-138 MHz validated (rtl.c:222)
+
+File/TPU specific:
+  --iq FILE          capture file (required)
+  --format cu8|cs16|cf32|f32real
+  --fs HZ            input sample rate (default 2,000,000)
+  --fc HZ            center frequency (default: auto chooseFc)
+  --block-seconds S  streaming block length
+  --max-rows N       burst capacity cap (8 = full VDL-M2)
+  --mesh CxT         device mesh, e.g. 1x4 (chan x time shards)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .constants import MAX_BURST_SYMBOLS
+from .host.decoder import FrameDecoder
+from .host.output import OutputConfig
+from .io.sdr import choose_fc, choose_fc_airspy, read_capture, validate_freqs
+from .pipeline import Pipeline, PipelineConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vdlm2t",
+        description="TPU-native VDL Mode 2 decoder (vdlm2dec-compatible)",
+    )
+    p.add_argument("freqs", nargs="+", type=float, help="frequencies in MHz")
+    p.add_argument("--iq", required=True, help="IQ capture file")
+    p.add_argument("--format", default="cu8",
+                   choices=["cu8", "cs16", "cf32", "f32real"])
+    p.add_argument("--fs", type=int, default=2_000_000)
+    p.add_argument("--fc", type=float, default=None)
+    p.add_argument("--block-seconds", type=float, default=4.0)
+    p.add_argument("--max-rows", type=int, default=8)
+    p.add_argument("--mesh", default=None, help="chan x time, e.g. 1x4")
+    p.add_argument("--start-time", type=float, default=None,
+                   help="capture start unix time (default: now)")
+
+    p.add_argument("-v", dest="verbose", action="store_true")
+    p.add_argument("-q", dest="quiet", action="store_true")
+    p.add_argument("-J", dest="jsonout", action="store_true")
+    p.add_argument("-R", dest="routeout", action="store_true")
+    p.add_argument("-a", dest="regout", action="store_true")
+    p.add_argument("-G", dest="grndmess", action="store_true")
+    p.add_argument("-E", dest="emptymess", action="store_true")
+    p.add_argument("-U", dest="undecmess", action="store_true")
+    p.add_argument("-b", dest="labelfilter", default=None)
+    p.add_argument("-i", dest="station", default="")
+    p.add_argument("-j", dest="netjson", default=None)
+    p.add_argument("-s", dest="netsbs", default=None)
+    p.add_argument("-l", dest="logfile", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    verbose = 1
+    if args.verbose:
+        verbose = 2
+    if args.quiet:
+        verbose = 0
+    jsonout = args.jsonout
+    routeout = args.routeout
+    regout = args.regout
+    if routeout:
+        jsonout = True            # main.c:169-172
+    if regout:
+        jsonout = False           # main.c:173-176
+    if jsonout or regout:
+        verbose = 0               # main.c:200-201
+
+    freqs = validate_freqs([int(f * 1e6) for f in args.freqs])
+    if not freqs:
+        print("Need at least one valid frequency (118-138 MHz)", file=sys.stderr)
+        return 1
+
+    real_input = args.format == "f32real"
+    if args.fc is not None:
+        fc = args.fc
+    elif real_input:
+        fc = choose_fc_airspy(freqs, args.fs)
+    else:
+        fc = choose_fc(freqs, args.fs)
+
+    logfd = open(args.logfile, "a") if args.logfile else None
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from .parallel.sharding import make_mesh
+
+        c, t = args.mesh.lower().split("x")
+        mesh = make_mesh(int(c), int(t), devices=jax.devices())
+
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs],
+        fs=args.fs,
+        fc_hz=float(fc),
+        real_input=real_input,
+        max_symbols=min(MAX_BURST_SYMBOLS, args.max_rows * 680 + 16),
+        mesh=mesh,
+    )
+    pipe = Pipeline(cfg)
+
+    out_cfg = OutputConfig(
+        verbose=verbose,
+        jsonout=jsonout,
+        routeout=routeout,
+        regout=regout,
+        grndmess=args.grndmess,
+        emptymess=args.emptymess,
+        undecmess=args.undecmess,
+        station_id=args.station,
+        net_json_addr=args.netjson,
+        net_sbs_addr=args.netsbs,
+        logfile=logfd,
+    )
+    dec = FrameDecoder(out_cfg, label_filter=args.labelfilter,
+                       time_base=args.start_time)
+
+    x = read_capture(args.iq, args.format)
+    n_frames = 0
+    for bursts in pipe.stream_wideband(x, block_seconds=args.block_seconds):
+        for b in bursts:
+            dec.process_burst(b)
+            n_frames += len(b.frames)
+    if verbose:
+        print(f"\n# {n_frames} frames decoded", file=sys.stderr)
+    if logfd:
+        logfd.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

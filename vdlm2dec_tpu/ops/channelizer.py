@@ -162,6 +162,31 @@ class Channelizer:
         (C, T*21/sdrclk, 2) float32 decimated channels (re/im planes —
         the device pipeline is complex-free by design: XLA lowers complex
         to real pairs anyway and f32 planes keep TPU layouts clean)."""
+        if x.ndim == 2 and x.shape[-1] == 2:
+            # (T, 2) re/im planes (device-friendly; complex64 never touches
+            # the device)
+            t = x.shape[0]
+            assert t % self.p_in == 0, f"block {t} not a multiple of {self.p_in}"
+            b = t // self.p_in
+            ph = period_phases(
+                self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b,
+                self._period_cursor,
+            )
+            self._period_cursor += b
+            x = jnp.asarray(x, dtype=jnp.float32)
+            x_r = x[:, 0].reshape(b, self.p_in)
+            x_i = (
+                jnp.zeros_like(x_r)
+                if self.real_input
+                else x[:, 1].reshape(b, self.p_in)
+            )
+            yr, yi = _channelize_jit(
+                x_r, x_i,
+                jnp.asarray(self._lo.real), jnp.asarray(self._lo.imag),
+                jnp.asarray(ph.real), jnp.asarray(ph.imag),
+                self._a,
+            )
+            return jnp.stack([yr, yi], axis=-1)
         t = x.shape[-1]
         assert t % self.p_in == 0, f"block length {t} not a multiple of {self.p_in}"
         b = t // self.p_in

@@ -176,17 +176,62 @@ class Pipeline:
         )
         return jax.tree.map(np.asarray, res)
 
+    # -- streaming -----------------------------------------------------------
+    def stream_wideband(self, x: np.ndarray, block_seconds: float = 4.0):
+        """Decode a long capture in fixed-size overlapping blocks.
+
+        Yields lists of DecodedBurst per block.  Burst ownership: the block
+        whose core region contains the sync trigger; a right-margin of one
+        max burst window lets owned bursts complete past the core edge, and
+        cross-block greedy state prevents re-decoding a burst that re-syncs
+        inside a previous block's span.
+        """
+        p_in = self.channelizer.p_in
+        t = len(x) - len(x) % p_in
+        step_raw = max(p_in, int(block_seconds * self.cfg.fs) // p_in * p_in)
+        ys = []
+        for i in range(0, t, step_raw):
+            ys.append(np.asarray(self.channelizer(x[i : min(i + step_raw, t)])))
+        if not ys:
+            return
+        y = np.concatenate(ys, axis=1)
+        yield from self.stream_channels(y)
+
+    def stream_channels(self, y: np.ndarray, core_len: int | None = None):
+        if isinstance(y, np.ndarray) and np.iscomplexobj(y):
+            y = pack_complex(y)
+        c, t = y.shape[:2]
+        lmargin = 160
+        rmargin = 24 + 8 * self.cfg.max_symbols
+        if core_len is None:
+            core_len = max(8400, min(t, 4 * 84000))
+        prev_end = {ci: -1 for ci in range(c)}
+        for i in range(0, t, core_len):
+            seg = np.zeros((c, lmargin + core_len + rmargin, 2), dtype=np.float32)
+            lo = i - lmargin
+            hi = i + core_len + rmargin
+            src_lo, src_hi = max(lo, 0), min(hi, t)
+            seg[:, src_lo - lo : src_lo - lo + (src_hi - src_lo)] = y[:, src_lo:src_hi]
+            out = self._decode_block(jnp.asarray(seg))
+            # ownership: trigger inside the core region
+            t0l = out["t0"]
+            out["valid"] = out["valid"] & (t0l >= lmargin) & (t0l < lmargin + core_len)
+            yield self._finish(out, t_offset=i - lmargin, prev_end=prev_end)
+
     # -- host finisher -------------------------------------------------------
-    def _finish(self, res, t_offset: int) -> list[DecodedBurst]:
+    def _finish(
+        self, res, t_offset: int, prev_end: dict[int, int] | None = None
+    ) -> list[DecodedBurst]:
         bursts: list[DecodedBurst] = []
         c, k = res["t0"].shape
+        if prev_end is None:
+            prev_end = {ci: -1 for ci in range(c)}
         for ci in range(c):
-            prev_end = -1
             for ki in range(k):
                 if not res["valid"][ci, ki]:
                     continue
-                t0 = int(res["t0"][ci, ki])
-                if t0 <= prev_end:
+                t0 = int(res["t0"][ci, ki]) + t_offset    # global index
+                if t0 <= prev_end[ci]:
                     continue          # inside the previous burst: the serial
                                       # decoder would not be in WSYNC here
                 if not res["ok"][ci, ki]:
@@ -203,8 +248,8 @@ class Pipeline:
                 ppm = 10500.0 * df / (TWO_PI * fr_hz) * 1e6 if fr_hz else 0.0
                 burst = DecodedBurst(
                     channel=ci,
-                    t0=t0 + t_offset,
-                    time_s=(t0 + t_offset) / DEMOD_RATE,
+                    t0=t0,
+                    time_s=t0 / DEMOD_RATE,
                     freq_hz=fr_hz,
                     ppm=ppm,
                     length_bits=int(res["length"][ci, ki]),
@@ -214,13 +259,10 @@ class Pipeline:
                     rs_counts=counts,
                 )
                 burst.frames = deframe_corrected(block, nbrow, nlbyte)
-                if burst.frames:
-                    prev_end = t0 + span
-                    bursts.append(burst)
-                else:
-                    # still occupy the span: the serial decoder was busy
-                    prev_end = t0 + span
-                    bursts.append(burst)
+                # occupy the span either way: the serial decoder was busy
+                # decoding this burst whether or not its CRCs passed
+                prev_end[ci] = t0 + span
+                bursts.append(burst)
         return bursts
 
 
