@@ -91,22 +91,29 @@ def main():
 
     dev = jax.devices()[0]
     from vdlm2dec_tpu.ops.demod import pack_complex
+    from vdlm2dec_tpu.pipeline import _device_decode_packed_jit, unpack_results
 
     wide_pair = pack_complex(wide)        # (T, 2) f32: complex-free device path
+    max_out = pipe._max_out()
 
     def step(x_host):
+        """Honest end-to-end step: host->device upload, channelize, decode,
+        ONE packed device->host fetch, host unpack.  np.asarray forces
+        execution (this backend runs lazily until a fetch)."""
         x = jax.device_put(x_host, dev)
         y = pipe.channelizer(x)
-        return _device_decode_jit(y, cfg.max_candidates, cfg.max_symbols)
+        buf = _device_decode_packed_jit(
+            y, cfg.max_candidates, cfg.max_symbols, max_out
+        )
+        return unpack_results(np.asarray(buf))
 
     # warm-up the exact timed path
-    r = step(wide_pair)
-    jax.block_until_ready(r)
+    cands = step(wide_pair)
+    print(f"# warmup: {len(cands)} candidates", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        r = step(wide_pair)
-    jax.block_until_ready(r)
+        cands = step(wide_pair)
     dt = time.perf_counter() - t0
 
     samples_per_s = t * args.iters / dt

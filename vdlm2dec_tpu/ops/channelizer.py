@@ -147,6 +147,10 @@ class Channelizer:
         self.p_in, self.p_out = period_for(self.sdrclk)
         lo, _ = lo_tables(self.f_offsets, fs, self.sdrclk, lo_wrap)
         self._lo = lo
+        # device-resident constants (uploads once; per-call jnp.asarray of
+        # host arrays would re-transfer every block)
+        self._lo_r = jnp.asarray(np.ascontiguousarray(lo.real))
+        self._lo_i = jnp.asarray(np.ascontiguousarray(lo.imag))
         self._a = jnp.asarray(aggregation_matrix(self.sdrclk))
         self._period_cursor = 0
 
@@ -182,7 +186,7 @@ class Channelizer:
             )
             yr, yi = _channelize_jit(
                 x_r, x_i,
-                jnp.asarray(self._lo.real), jnp.asarray(self._lo.imag),
+                self._lo_r, self._lo_i,
                 jnp.asarray(ph.real), jnp.asarray(ph.imag),
                 self._a,
             )
@@ -211,7 +215,7 @@ class Channelizer:
                 x_i = x.imag.astype(jnp.float32).reshape(b, self.p_in)
         yr, yi = _channelize_jit(
             x_r, x_i,
-            jnp.asarray(self._lo.real), jnp.asarray(self._lo.imag),
+            self._lo_r, self._lo_i,
             jnp.asarray(ph.real), jnp.asarray(ph.imag),
             self._a,
         )

@@ -150,6 +150,14 @@ def find_triggers(
     e2 = jnp.pad(err, ((0, 0), (4, 0)))[:, :t]      # err at t-4 (p2err)
     f1 = jnp.pad(fr, ((0, 0), (2, 0)))[:, :t]       # fr at t-2  (pfr)
     trig = metric_pos[None, :] & (e1 < threshold) & (e0 > e1)
+    # suppress re-triggers: the serial decoder leaves WSYNC at the first
+    # trigger of a preamble, so later local minima within one sync window
+    # (17 symbols = 136 samples) never fire.  Windowed-OR via cumsum.
+    cnt = jnp.cumsum(trig.astype(jnp.int32), axis=1)
+    prev = jnp.pad(cnt, ((0, 0), (1, 0)))[:, :t]          # count up to t-1
+    prev_far = jnp.pad(cnt, ((0, 0), (137, 0)))[:, :t]    # count up to t-137
+    recent = (prev - prev_far) > 0
+    trig = trig & ~recent
     # earliest K trigger indices: sort masked positions
     pos = jnp.where(trig, tt[None, :], t + 1)
     t0 = jax.lax.sort(pos, dimension=1)[:, :max_candidates]

@@ -112,6 +112,87 @@ _device_decode_jit = jax.jit(
     _device_decode, static_argnames=("max_candidates", "max_symbols")
 )
 
+# Packed-result layout (one uint8 row per surviving candidate):
+#   [0:2040)    burst block (8 rows x 255 bytes)
+#   [2040:2048) rs counts per row, int8 (count+1 so -1 fits unsigned)
+#   [2048:2088) 10 int32 little-endian meta words:
+#               chan, t0, length, nbrow, nlbyte, consumed, live,
+#               of_bits, df_bits, err_bits (f32 bitcast)
+PACKED_ROW_BYTES = 2040 + 8 + 40
+
+
+def _device_decode_packed(y, max_candidates: int, max_symbols: int,
+                          max_out: int):
+    """Device decode + on-device candidate compaction into one buffer.
+
+    The host link has high per-fetch latency, so all results ship as a
+    single (max_out, PACKED_ROW_BYTES) uint8 array: surviving candidates
+    (valid sync + accepted header) sorted by trigger time.
+    """
+    res = _device_decode(y, max_candidates, max_symbols)
+    c, k = res["t0"].shape
+    n = c * k
+    live = (res["valid"] & res["ok"]).reshape(n)
+    t0 = res["t0"].reshape(n)
+    big = jnp.int32(1 << 30)
+    key = jnp.where(live, t0, big)
+    order = jnp.argsort(key)[:max_out]
+    chan = (order // k).astype(jnp.int32)
+
+    def g(name):
+        return res[name].reshape(n, *res[name].shape[2:])[order]
+
+    blocks = g("blocks").reshape(max_out, 8 * 255)
+    rs = (g("rs_counts").astype(jnp.int32) + 1).astype(jnp.uint8)
+    meta = jnp.stack(
+        [
+            chan,
+            g("t0").astype(jnp.int32),
+            g("length").astype(jnp.int32),
+            g("nbrow").astype(jnp.int32),
+            g("nlbyte").astype(jnp.int32),
+            g("consumed").astype(jnp.int32),
+            live[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(g("of").astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(g("df").astype(jnp.float32), jnp.int32),
+            jnp.zeros((max_out,), jnp.int32),
+        ],
+        axis=1,
+    )
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(max_out, 40)
+    return jnp.concatenate([blocks, rs, meta_u8], axis=1)
+
+
+_device_decode_packed_jit = jax.jit(
+    _device_decode_packed,
+    static_argnames=("max_candidates", "max_symbols", "max_out"),
+)
+
+
+def unpack_results(buf: np.ndarray) -> list[dict]:
+    """Host-side unpack of _device_decode_packed rows -> candidate dicts."""
+    out = []
+    for row in np.ascontiguousarray(np.asarray(buf)):
+        meta = row[2048:2088].copy().view(np.int32)
+        live = int(meta[6])
+        if not live:
+            continue
+        out.append(
+            dict(
+                chan=int(meta[0]),
+                t0=int(meta[1]),
+                length=int(meta[2]),
+                nbrow=int(meta[3]),
+                nlbyte=int(meta[4]),
+                consumed=int(meta[5]),
+                of=float(meta[7:8].view(np.float32)[0]),
+                df=float(meta[8:9].view(np.float32)[0]),
+                block=row[:2040].reshape(8, 255),
+                rs_counts=row[2040:2048].copy().view(np.int8).astype(np.int32) - 1,
+            )
+        )
+    return out
+
 
 def burst_span_samples(consumed_bits: int, of: float) -> int:
     """Decimated samples from trigger to last consumed symbol."""
@@ -165,16 +246,27 @@ class Pipeline:
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
             y = pack_complex(y)
         if self._sharded is not None:
-            out = self._sharded.decode(y)
+            cands = _dict_to_candidates(self._sharded.decode(y))
         else:
-            out = self._decode_block(jnp.asarray(y, dtype=jnp.float32))
-        return self._finish(out, t_offset=0)
+            cands = self._decode_block(jnp.asarray(y, dtype=jnp.float32))
+        return self._finish(cands, t_offset=0)
 
-    def _decode_block(self, y: jnp.ndarray):
-        res = _device_decode_jit(
-            y, self.cfg.max_candidates, self.cfg.max_symbols
+    def _decode_block(self, y: jnp.ndarray) -> list[dict]:
+        """Single-chip decode returning compacted host-side candidates.
+
+        The packed path does ONE device->host fetch (high per-fetch latency
+        on tunneled TPU links makes per-array fetches the dominant cost).
+        """
+        buf = _device_decode_packed_jit(
+            jnp.asarray(y, dtype=jnp.float32),
+            self.cfg.max_candidates,
+            self.cfg.max_symbols,
+            self._max_out(),
         )
-        return jax.tree.map(np.asarray, res)
+        return unpack_results(np.asarray(buf))
+
+    def _max_out(self) -> int:
+        return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 256)
 
     # -- streaming -----------------------------------------------------------
     def stream_wideband(self, x: np.ndarray, block_seconds: float = 4.0):
@@ -212,62 +304,93 @@ class Pipeline:
             hi = i + core_len + rmargin
             src_lo, src_hi = max(lo, 0), min(hi, t)
             seg[:, src_lo - lo : src_lo - lo + (src_hi - src_lo)] = y[:, src_lo:src_hi]
-            out = self._decode_block(jnp.asarray(seg))
+            cands = self._decode_block(jnp.asarray(seg))
             # ownership: trigger inside the core region
-            t0l = out["t0"]
-            out["valid"] = out["valid"] & (t0l >= lmargin) & (t0l < lmargin + core_len)
-            yield self._finish(out, t_offset=i - lmargin, prev_end=prev_end)
+            cands = [
+                cd for cd in cands
+                if lmargin <= cd["t0"] < lmargin + core_len
+            ]
+            yield self._finish(cands, t_offset=i - lmargin, prev_end=prev_end)
 
     # -- host finisher -------------------------------------------------------
     def _finish(
-        self, res, t_offset: int, prev_end: dict[int, int] | None = None
+        self,
+        cands: list[dict],
+        t_offset: int,
+        prev_end: dict[int, int] | None = None,
     ) -> list[DecodedBurst]:
+        """Greedy first-trigger-wins over time-sorted candidates, then HDLC
+        deframe (the serial reference suspends sync search during a burst,
+        so later triggers inside an accepted span are discarded)."""
         bursts: list[DecodedBurst] = []
-        c, k = res["t0"].shape
         if prev_end is None:
-            prev_end = {ci: -1 for ci in range(c)}
-        for ci in range(c):
-            for ki in range(k):
-                if not res["valid"][ci, ki]:
-                    continue
-                t0 = int(res["t0"][ci, ki]) + t_offset    # global index
-                if t0 <= prev_end[ci]:
-                    continue          # inside the previous burst: the serial
-                                      # decoder would not be in WSYNC here
-                if not res["ok"][ci, ki]:
-                    continue
-                consumed = int(res["consumed"][ci, ki])
-                of = float(res["of"][ci, ki])
-                span = burst_span_samples(consumed, of)
-                nbrow = int(res["nbrow"][ci, ki])
-                nlbyte = int(res["nlbyte"][ci, ki])
-                block = res["blocks"][ci, ki, :nbrow]
-                counts = [int(v) for v in res["rs_counts"][ci, ki, :nbrow]]
-                df = float(res["df"][ci, ki])
-                fr_hz = self.cfg.freqs_hz[ci] if ci < len(self.cfg.freqs_hz) else 0.0
-                ppm = 10500.0 * df / (TWO_PI * fr_hz) * 1e6 if fr_hz else 0.0
-                burst = DecodedBurst(
-                    channel=ci,
-                    t0=t0,
-                    time_s=t0 / DEMOD_RATE,
-                    freq_hz=fr_hz,
-                    ppm=ppm,
-                    length_bits=int(res["length"][ci, ki]),
-                    nbrow=nbrow,
-                    nlbyte=nlbyte,
-                    block=block,
-                    rs_counts=counts,
-                )
-                burst.frames = deframe_corrected(block, nbrow, nlbyte)
-                # occupy the span either way: the serial decoder was busy
-                # decoding this burst whether or not its CRCs passed
-                prev_end[ci] = t0 + span
-                bursts.append(burst)
+            prev_end = {}
+        for cd in sorted(cands, key=lambda d: (d["chan"], d["t0"])):
+            ci = cd["chan"]
+            t0 = cd["t0"] + t_offset          # global index
+            if t0 <= prev_end.get(ci, -1):
+                continue
+            span = burst_span_samples(cd["consumed"], cd["of"])
+            nbrow, nlbyte = cd["nbrow"], cd["nlbyte"]
+            block = cd["block"][:nbrow]
+            fr_hz = self.cfg.freqs_hz[ci] if ci < len(self.cfg.freqs_hz) else 0.0
+            ppm = 10500.0 * cd["df"] / (TWO_PI * fr_hz) * 1e6 if fr_hz else 0.0
+            burst = DecodedBurst(
+                channel=ci,
+                t0=t0,
+                time_s=t0 / DEMOD_RATE,
+                freq_hz=fr_hz,
+                ppm=ppm,
+                length_bits=cd["length"],
+                nbrow=nbrow,
+                nlbyte=nlbyte,
+                block=block,
+                rs_counts=[int(v) for v in cd["rs_counts"][:nbrow]],
+            )
+            burst.frames = deframe_corrected(block, nbrow, nlbyte)
+            # occupy the span either way: the serial decoder was busy
+            # decoding this burst whether or not its CRCs passed
+            prev_end[ci] = t0 + span
+            bursts.append(burst)
         return bursts
 
 
+def _dict_to_candidates(res: dict) -> list[dict]:
+    """Adapter: (C, K)-grid result dict (sharded path) -> candidate list."""
+    cands = []
+    c, k = res["t0"].shape
+    for ci in range(c):
+        for ki in range(k):
+            if not (res["valid"][ci, ki] and res["ok"][ci, ki]):
+                continue
+            cands.append(
+                dict(
+                    chan=ci,
+                    t0=int(res["t0"][ci, ki]),
+                    length=int(res["length"][ci, ki]),
+                    nbrow=int(res["nbrow"][ci, ki]),
+                    nlbyte=int(res["nlbyte"][ci, ki]),
+                    consumed=int(res["consumed"][ci, ki]),
+                    of=float(res["of"][ci, ki]),
+                    df=float(res["df"][ci, ki]),
+                    block=res["blocks"][ci, ki],
+                    rs_counts=res["rs_counts"][ci, ki],
+                )
+            )
+    return cands
+
+
 def deframe_corrected(block: np.ndarray, nbrow: int, nlbyte: int) -> list[np.ndarray]:
-    """HDLC unstuff + flag scan + CRC over an RS-corrected block."""
+    """HDLC unstuff + flag scan + CRC over an RS-corrected block.
+
+    Uses the native C++ decoder (native/hostdec.cpp) when built; the pure
+    Python path is behaviour-identical (differential-tested).
+    """
+    from .host.native import deframe_block_native
+
+    frames = deframe_block_native(block, nbrow, nlbyte)
+    if frames is not None:
+        return frames
     un = Unstuffer()
     for r in range(nbrow):
         by = nlbyte if r == nbrow - 1 else RS_K
