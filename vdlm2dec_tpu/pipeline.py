@@ -169,6 +169,36 @@ _device_decode_packed_jit = jax.jit(
 )
 
 
+def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
+                        max_candidates: int, max_symbols: int, max_out: int):
+    """Fused device program: raw interleaved u8 IQ -> packed candidates.
+
+    Ships 2 bytes/sample over the host link (the rtl_sdr native format,
+    rtl.c:274-295) and does the u8 -> f32 - 127.37 conversion on device.
+    One dispatch, one fetch.
+    """
+    p_in = lo_r.shape[1]
+    b = ph_r.shape[1]
+    x = raw.astype(jnp.float32) - dc_offset
+    x_r = x[0::2].reshape(b, p_in)
+    x_i = x[1::2].reshape(b, p_in)
+    mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
+    mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
+    zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
+    zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
+    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32)
+    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32)
+    c = yr.shape[0]
+    y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
+    return _device_decode_packed(y, max_candidates, max_symbols, max_out)
+
+
+_wideband_u8_decode_jit = jax.jit(
+    _wideband_u8_decode,
+    static_argnames=("max_candidates", "max_symbols", "max_out"),
+)
+
+
 def unpack_results(buf: np.ndarray) -> list[dict]:
     """Host-side unpack of _device_decode_packed rows -> candidate dicts."""
     out = []
@@ -267,6 +297,37 @@ class Pipeline:
 
     def _max_out(self) -> int:
         return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 256)
+
+    def decode_wideband_u8(self, raw: np.ndarray) -> list[dict]:
+        """Fused u8 fast path: interleaved uint8 IQ -> candidate dicts.
+
+        The whole program (u8 convert + channelize + demod + FEC + packing)
+        is one dispatch; only 2 bytes/sample cross the host->device link.
+        """
+        from .io.sdr import RTL_DC_OFFSET
+        from .ops.channelizer import period_phases
+
+        ch = self.channelizer
+        t = len(raw) // 2
+        t -= t % ch.p_in
+        raw = raw[: 2 * t]
+        b = t // ch.p_in
+        ph = period_phases(
+            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
+        )
+        ch._period_cursor += b
+        buf = _wideband_u8_decode_jit(
+            jnp.asarray(raw),
+            ch._lo_r, ch._lo_i,
+            jnp.asarray(np.ascontiguousarray(ph.real)),
+            jnp.asarray(np.ascontiguousarray(ph.imag)),
+            ch._a,
+            jnp.float32(RTL_DC_OFFSET),
+            self.cfg.max_candidates,
+            self.cfg.max_symbols,
+            self._max_out(),
+        )
+        return unpack_results(np.asarray(buf))
 
     # -- streaming -----------------------------------------------------------
     def stream_wideband(self, x: np.ndarray, block_seconds: float = 4.0):
