@@ -51,10 +51,12 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
-    ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--channels", type=int, default=8)
     ap.add_argument("--max-symbols", type=int, default=2048)
+    ap.add_argument("--max-candidates", type=int, default=None,
+                    help="sync candidates per channel (default: 24/s)")
     args = ap.parse_args()
 
     import jax
@@ -68,12 +70,13 @@ def main():
     fs = 2_000_000
     wide, freqs, fc, n_bursts = make_capture(fs, args.channels, args.seconds)
 
+    max_cand = args.max_candidates or max(16, int(24 * args.seconds))
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs],
         fs=fs,
         fc_hz=float(fc),
         lo_wrap=False,
-        max_candidates=32,
+        max_candidates=max_cand,
         max_symbols=args.max_symbols,
     )
     pipe = Pipeline(cfg)

@@ -1,0 +1,61 @@
+"""SNR sweep (BASELINE config 4): decode probability vs SNR.
+
+Verifies that the vectorised pipeline's sensitivity matches the golden
+scalar chain: at high SNR both decode everything; near threshold the frame
+recall difference stays small (same matched filter, same soft metrics).
+"""
+import numpy as np
+import pytest
+
+from vdlm2dec_tpu import modulator as mod
+from vdlm2dec_tpu.golden.codec import deframe_block
+from vdlm2dec_tpu.golden.dsp import GoldenChannel
+from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+
+def _trial(rng, snr_db, n=8):
+    """Returns (golden_ok, tpu_ok) decode counts over n bursts."""
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=512, max_candidates=4)
+    pipe = Pipeline(cfg)
+    g_ok = t_ok = 0
+    for i in range(n):
+        content = rng.integers(0, 256, 30).astype(np.uint8)
+        plan = mod.make_burst([content])
+        sig = mod.synthesize_baseband(plan, start=400, total=2000,
+                                      timing_frac=float(rng.random()))
+        sig = mod.awgn(sig, snr_db, rng)
+
+        gch = GoldenChannel()
+        for b in gch.run(sig):
+            frames, _ = deframe_block(b.block, b.nbrow, b.nlbyte)
+            if any(np.array_equal(f[1:-3], content) for f in frames):
+                g_ok += 1
+
+        bursts = pipe.decode_channels(sig[None, :].astype(np.complex64))
+        if any(
+            np.array_equal(f[1:-3], content)
+            for b in bursts for f in b.frames
+        ):
+            t_ok += 1
+    return g_ok, t_ok
+
+
+def test_high_snr_both_perfect():
+    rng = np.random.default_rng(0)
+    g, t = _trial(rng, 20.0, n=6)
+    assert g == 6 and t == 6
+
+
+def test_mid_snr_parity():
+    rng = np.random.default_rng(1)
+    g, t = _trial(rng, 8.0, n=10)
+    # same soft chain: recall within 2 bursts of each other
+    assert abs(g - t) <= 2
+    assert t >= 8            # 8 dB decodes reliably
+
+
+def test_threshold_snr_not_worse():
+    rng = np.random.default_rng(2)
+    g, t = _trial(rng, 4.0, n=10)
+    assert t >= g - 2

@@ -158,9 +158,11 @@ def find_triggers(
     prev_far = jnp.pad(cnt, ((0, 0), (137, 0)))[:, :t]    # count up to t-137
     recent = (prev - prev_far) > 0
     trig = trig & ~recent
-    # earliest K trigger indices: sort masked positions
-    pos = jnp.where(trig, tt[None, :], t + 1)
-    t0 = jax.lax.sort(pos, dimension=1)[:, :max_candidates]
+    # earliest K trigger indices: top_k on negated positions (a full sort
+    # of the (C, T) stream costs tens of ms at block scale)
+    neg = jnp.where(trig, -tt[None, :], -(t + 1))
+    topv, _ = jax.lax.top_k(neg, max_candidates)
+    t0 = -topv            # descending neg -> ascending positions
     valid = t0 <= t
     t0c = jnp.minimum(t0, t - 1)
     ge2 = jnp.take_along_axis(e2, t0c, axis=1)

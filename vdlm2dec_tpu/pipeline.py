@@ -296,7 +296,7 @@ class Pipeline:
         return unpack_results(np.asarray(buf))
 
     def _max_out(self) -> int:
-        return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 256)
+        return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 512)
 
     def decode_wideband_u8(self, raw: np.ndarray) -> list[dict]:
         """Fused u8 fast path: interleaved uint8 IQ -> candidate dicts.
