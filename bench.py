@@ -70,7 +70,7 @@ def main():
     fs = 2_000_000
     wide, freqs, fc, n_bursts = make_capture(fs, args.channels, args.seconds)
 
-    max_cand = args.max_candidates or max(16, int(24 * args.seconds))
+    max_cand = args.max_candidates or max(16, int(16 * args.seconds))
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs],
         fs=fs,

@@ -1,0 +1,13 @@
+#!/bin/sh
+# Build the reference decoder (sources compiled unmodified from
+# /root/reference) with our file-input shim in place of main.c/rtl.c.
+set -e
+REF=${REF:-/root/reference}
+OUT=${OUT:-$(dirname "$0")/ref_shim}
+cc -O2 -DWITH_RTL -I"$REF" \
+    "$(dirname "$0")/shim.c" \
+    "$REF/d8psk.c" "$REF/vdlm2.c" "$REF/viterbi.c" "$REF/rs.c" \
+    "$REF/crc.c" "$REF/out.c" "$REF/outacars.c" "$REF/outxid.c" \
+    "$REF/label.c" "$REF/cJSON.c" \
+    -lm -lpthread -o "$OUT"
+echo "built $OUT"

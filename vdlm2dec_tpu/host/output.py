@@ -207,14 +207,16 @@ def build_json_header(
         jb.add("is_response", isresponse)
     if isonground:
         jb.add("is_onground", isonground)
-    return jb
-
-
-def finish_json(jb: JsonBuilder) -> str:
+    # cJSON appends the app object at build time, so it precedes the
+    # ACARS/XID fields added later (out.c:248-252)
     app = JsonBuilder()
     app.add("name", APP_NAME)
     app.add("ver", APP_VER)
     jb.add("app", app.render(), raw=True)
+    return jb
+
+
+def finish_json(jb: JsonBuilder) -> str:
     return jb.render()
 
 
@@ -226,10 +228,10 @@ def add_acars_json(jb: JsonBuilder, msg: AcarsMessage, oooi: Oooi | None) -> Non
     # parsing (outacars.c:256-258), so ' ' here means "absent"
     if msg.bid != " ":
         jb.add("block_id", msg.bid)
-        if msg.ack == "!":
-            jb.add("ack", False)
-        else:
-            jb.add("ack", msg.ack)
+        # outacars.c:166-171 tests ack==0x15 for a JSON false, but the parse
+        # already replaced 0x15 with '!' (outacars.c:244-245), so the false
+        # branch is dead and the reference always emits the character
+        jb.add("ack", msg.ack)
         jb.add("tail", msg.reg)
         if msg.mode <= ord("Z"):
             jb.add("flight", msg.fid)

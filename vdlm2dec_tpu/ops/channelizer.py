@@ -116,9 +116,13 @@ def _channelize_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a, interleave=False):
     # apply period phase
     zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
     zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-    # aggregate: (C, B, P_in) @ (P_in, P_out)
-    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32)
-    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32)
+    # aggregate: (C, B, P_in) @ (P_in, P_out).  HIGHEST keeps the TPU MXU in
+    # full-f32 (3-pass) mode: the default bf16 pass costs ~0.5% amplitude
+    # error on the decimated samples
+    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     c = yr.shape[0]
     return yr.reshape(c, -1), yi.reshape(c, -1)
 

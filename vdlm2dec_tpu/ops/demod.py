@@ -89,6 +89,7 @@ def polyphase_filter(y: jnp.ndarray) -> jnp.ndarray:
         taps[:, None, :].astype(jnp.float32),
         window_strides=(1,),
         padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,      # full-f32 on the MXU
     )                                             # (C*2, 4, T)
     return out.reshape(c, 2, 4, t).transpose(0, 2, 3, 1)
 

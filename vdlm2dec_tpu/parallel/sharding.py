@@ -170,8 +170,12 @@ class ShardedWidebandDecoder:
             mi = xr[None] * lo_i[:, None, :] + xi[None] * lo_r[:, None, :]
             zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
             zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-            yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32)
-            yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32)
+            yr = jnp.einsum("cbn,nm->cbm", zr, a,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            yi = jnp.einsum("cbn,nm->cbm", zi, a,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             c = yr.shape[0]
             y = jnp.stack(
                 [yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1

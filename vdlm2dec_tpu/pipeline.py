@@ -186,8 +186,10 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
     mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
     zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
     zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32)
-    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32)
+    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     c = yr.shape[0]
     y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
     return _device_decode_packed(y, max_candidates, max_symbols, max_out)
