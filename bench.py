@@ -56,7 +56,10 @@ def main():
     ap.add_argument("--channels", type=int, default=8)
     ap.add_argument("--max-symbols", type=int, default=2048)
     ap.add_argument("--max-candidates", type=int, default=None,
-                    help="sync candidates per channel (default: 24/s)")
+                    help="sync candidates per channel (default: 16/s)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false",
+                    help="disable the fused Pallas channelizer kernel")
+    ap.set_defaults(pallas=True)
     args = ap.parse_args()
 
     import jax
@@ -78,6 +81,7 @@ def main():
         lo_wrap=False,
         max_candidates=max_cand,
         max_symbols=args.max_symbols,
+        use_pallas=args.pallas,
     )
     pipe = Pipeline(cfg)
     p_in = pipe.channelizer.p_in

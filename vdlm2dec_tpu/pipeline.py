@@ -67,6 +67,7 @@ class PipelineConfig:
     max_symbols: int = MAX_BURST_SYMBOLS   # burst demod window
     sdrclk: int | None = None
     mesh: object | None = None             # jax.sharding.Mesh for multi-chip
+    use_pallas: bool = False               # fused VMEM channelizer kernel
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -170,34 +171,46 @@ _device_decode_packed_jit = jax.jit(
 
 
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
-                        max_candidates: int, max_symbols: int, max_out: int):
+                        max_candidates: int, max_symbols: int, max_out: int,
+                        use_pallas: bool = False):
     """Fused device program: raw interleaved u8 IQ -> packed candidates.
 
     Ships 2 bytes/sample over the host link (the rtl_sdr native format,
     rtl.c:274-295) and does the u8 -> f32 - 127.37 conversion on device.
-    One dispatch, one fetch.
+    One dispatch, one fetch.  use_pallas routes the convert+mix+aggregate
+    through the fused VMEM kernel (ops/pallas_channelizer.py).
     """
     p_in = lo_r.shape[1]
     b = ph_r.shape[1]
-    x = raw.astype(jnp.float32) - dc_offset
-    x_r = x[0::2].reshape(b, p_in)
-    x_i = x[1::2].reshape(b, p_in)
-    mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
-    mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
-    zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
-    zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-    yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    c = yr.shape[0]
-    y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
+    c = lo_r.shape[0]
+    if use_pallas:
+        from .ops.pallas_channelizer import channelize_u8_pallas
+
+        xr = raw.reshape(-1, 2)[:, 0].reshape(b, p_in)
+        xi = raw.reshape(-1, 2)[:, 1].reshape(b, p_in)
+        y4 = channelize_u8_pallas(
+            xr, xi, lo_r, lo_i, ph_r, ph_i, a, dc_offset[None]
+        )                                 # (C, B, 84, 2)
+        y = y4.reshape(c, -1, 2)
+    else:
+        x = raw.astype(jnp.float32) - dc_offset
+        x_r = x[0::2].reshape(b, p_in)
+        x_i = x[1::2].reshape(b, p_in)
+        mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
+        mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
+        zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
+        zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
+        yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
     return _device_decode_packed(y, max_candidates, max_symbols, max_out)
 
 
 _wideband_u8_decode_jit = jax.jit(
     _wideband_u8_decode,
-    static_argnames=("max_candidates", "max_symbols", "max_out"),
+    static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas"),
 )
 
 
@@ -311,7 +324,8 @@ class Pipeline:
 
         ch = self.channelizer
         t = len(raw) // 2
-        t -= t % ch.p_in
+        align = ch.p_in * (32 if self.cfg.use_pallas else 1)
+        t -= t % align
         raw = raw[: 2 * t]
         b = t // ch.p_in
         ph = period_phases(
@@ -328,6 +342,7 @@ class Pipeline:
             self.cfg.max_candidates,
             self.cfg.max_symbols,
             self._max_out(),
+            self.cfg.use_pallas,
         )
         return unpack_results(np.asarray(buf))
 
