@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None, help="chan x time, e.g. 1x4")
     p.add_argument("--start-time", type=float, default=None,
                    help="capture start unix time (default: now)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage metrics JSON to stderr at end")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file: resume from it and update per block")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas channelizer kernel")
 
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-q", dest="quiet", action="store_true")
@@ -122,6 +128,7 @@ def main(argv=None) -> int:
         real_input=real_input,
         max_symbols=min(MAX_BURST_SYMBOLS, args.max_rows * 680 + 16),
         mesh=mesh,
+        use_pallas=args.pallas,
     )
     pipe = Pipeline(cfg)
 
@@ -141,12 +148,35 @@ def main(argv=None) -> int:
     dec = FrameDecoder(out_cfg, label_filter=args.labelfilter,
                        time_base=args.start_time)
 
-    x = read_capture(args.iq, args.format)
+    from .metrics import PipelineMetrics
+
+    metrics = PipelineMetrics()
+    cursor = 0
+    if args.checkpoint:
+        import os
+
+        from .host.checkpoint import load_checkpoint, save_checkpoint
+
+        if os.path.exists(args.checkpoint):
+            cursor, _ = load_checkpoint(args.checkpoint, dec.flights)
+
+    x = read_capture(args.iq, args.format, offset=cursor)
+    metrics.samples_in = len(x)
     n_frames = 0
     for bursts in pipe.stream_wideband(x, block_seconds=args.block_seconds):
+        metrics.observe_bursts(bursts)
         for b in bursts:
             dec.process_burst(b)
             n_frames += len(b.frames)
+        if args.checkpoint:
+            # stream cursor advances block by block (approximate: frames in
+            # the current block may re-emit on resume; downstream consumers
+            # dedup on timestamp+content as with any at-least-once feed)
+            cursor += int(args.block_seconds * args.fs)
+            save_checkpoint(args.checkpoint, min(cursor, len(x)), dec.flights)
+    metrics.frames_emitted = dec.stats.acars + dec.stats.xid
+    if args.stats:
+        print(metrics.report(), file=sys.stderr)
     if verbose:
         print(f"\n# {n_frames} frames decoded", file=sys.stderr)
     if logfd:
