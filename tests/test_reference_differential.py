@@ -159,3 +159,63 @@ def test_oooi_label_fields_identical(tmp_path):
     ours = run_ours(wide, fc, [freq])
     assert len(ref) == 1
     assert _strip(ours) == _strip(ref)
+
+
+# ---------------------------------------------------------------------------
+# text-mode output parity
+# ---------------------------------------------------------------------------
+
+def _run_reference_text(path, fc, freqs_mhz, flags=()):
+    r = subprocess.run(
+        [SHIM, path, str(fc)] + [f"{f:.6f}" for f in freqs_mhz] + list(flags),
+        capture_output=True, text=True, timeout=120,
+    )
+    return r.stdout
+
+
+def _run_ours_text(wide, fc, freqs_hz, flags=()):
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs_hz], fs=2_000_000, fc_hz=float(fc),
+        max_symbols=1024, max_candidates=8,
+    )
+    pipe = Pipeline(cfg)
+    buf = io.StringIO()
+    out_cfg = OutputConfig(verbose=2 if "-v" in flags else 1, logfile=buf,
+                           grndmess="-G" in flags, emptymess="-E" in flags,
+                           undecmess="-U" in flags)
+    dec = FrameDecoder(out_cfg)
+    for bursts in pipe.stream_channels(
+        np.asarray(pipe.channelizer(wide.astype(np.complex64)))
+    ):
+        for b in bursts:
+            dec.process_burst(b)
+    return buf.getvalue()
+
+
+def _strip_dates(text):
+    """Blank the wall-clock date field of burst header lines."""
+    import re
+
+    return re.sub(
+        r"\d\d/\d\d/\d{4} \d\d:\d\d:\d\d\.\d{3}", "<TS>", text
+    )
+
+
+def test_text_output_identical(tmp_path):
+    fc = 136_900_000
+    freq = 136_975_000
+    content = fg.acars_frame(text="TEXT DIFF", label="Q0", reg=".FHBND")
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = _strip_dates(_run_reference_text(path, fc, [freq / 1e6]))
+    ours = _strip_dates(_run_ours_text(wide, fc, [freq]))
+    assert ours == ref
+
+
+def test_text_output_xid_identical(tmp_path):
+    fc = 136_900_000
+    freq = 136_975_000
+    content = fg.xid_frame()
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = _strip_dates(_run_reference_text(path, fc, [freq / 1e6]))
+    ours = _strip_dates(_run_ours_text(wide, fc, [freq]))
+    assert ours == ref
