@@ -88,3 +88,43 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert obj["station_id"] == "TESTSTN"
     assert obj["freq"] == 136.975
     assert obj["hex"] == "3C6544"
+
+
+def test_live_pipe_stdin(tmp_path):
+    """CLI reading from a pipe (subprocess stdin) decodes like file input."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(3)
+    fs, freq, fc = 2_000_000, 136_975_000, 136_900_000
+    content = fg.acars_frame(text="LIVE PIPE", label="Q0")
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=2500, total=3 * 8400)
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc) * 40.0
+    wide += (rng.normal(size=len(wide)) + 1j * rng.normal(size=len(wide)))
+    cap = tmp_path / "live.cu8"
+    write_capture(str(cap), wide, "cu8")
+    log = tmp_path / "live.log"
+
+    import os as _os
+
+    env = dict(_os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + _os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from vdlm2dec_tpu.cli import main;"
+        f"sys.exit(main(['136.975','--iq','-','--format','cu8',"
+        f"'--fc','{fc}','--max-rows','2','--block-seconds','0.2',"
+        f"'-J','-l',r'{log}']))"
+    )
+    with open(cap, "rb") as fh:
+        r = subprocess.run(
+            [_sys.executable, "-c", code], stdin=fh, env=env,
+            capture_output=True, timeout=240, cwd=str(tmp_path.parent),
+        )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    lines = [l for l in log.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["text"] == "LIVE PIPE"

@@ -160,6 +160,24 @@ def main(argv=None) -> int:
         if os.path.exists(args.checkpoint):
             cursor, _ = load_checkpoint(args.checkpoint, dec.flights)
 
+    if args.iq == "-":
+        # live pipe: rtl_sdr/airspy_rx | vdlm2t ... --iq -
+        n_frames = 0
+        for bursts in pipe.stream_live(
+            "-", fmt=args.format, block_seconds=args.block_seconds
+        ):
+            metrics.observe_bursts(bursts)
+            for b in bursts:
+                dec.process_burst(b)
+                n_frames += len(b.frames)
+        if args.stats:
+            print(metrics.report(), file=sys.stderr)
+        if verbose:
+            print(f"\n# {n_frames} frames decoded", file=sys.stderr)
+        if logfd:
+            logfd.close()
+        return 0
+
     x = read_capture(args.iq, args.format, offset=cursor)
     metrics.samples_in = len(x)
     n_frames = 0

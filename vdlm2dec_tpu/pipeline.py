@@ -367,6 +367,49 @@ class Pipeline:
         y = np.concatenate(ys, axis=1)
         yield from self.stream_channels(y)
 
+    def stream_live(self, source, fmt: str = "cu8", block_seconds: float = 2.0):
+        """Incremental decode of a pipe/growing stream (e.g. rtl_sdr |).
+
+        Maintains the decimated-stream overlap across reads; yields lists of
+        DecodedBurst as each core block completes.  Fixed block shapes keep
+        one compiled program.
+        """
+        from .io.live import stream_blocks
+
+        p_in = self.channelizer.p_in
+        raw_per_block = max(p_in, int(block_seconds * self.cfg.fs) // p_in * p_in)
+        lmargin = 160
+        rmargin = 24 + 8 * self.cfg.max_symbols
+        core = raw_per_block // p_in * self.channelizer.p_out
+        c = len(self.f_offsets)
+        tail = np.zeros((c, 0, 2), dtype=np.float32)
+        base = 0                       # global index of tail[:, 0]
+        prev_end = {ci: -1 for ci in range(c)}
+        for x in stream_blocks(source, fmt, raw_per_block):
+            y = np.asarray(self.channelizer(x[: raw_per_block]))
+            buf = np.concatenate([tail, y], axis=1)
+            # decode the core [base+len(tail)-?]: we decode the region that
+            # now has a full right margin: core region start = base_core
+            while buf.shape[1] >= lmargin + core + rmargin:
+                seg = buf[:, : lmargin + core + rmargin]
+                cands = self._decode_block(jnp.asarray(seg))
+                cands = [
+                    cd for cd in cands
+                    if lmargin <= cd["t0"] < lmargin + core
+                ]
+                yield self._finish(cands, t_offset=base, prev_end=prev_end)
+                buf = buf[:, core:]
+                base += core
+            tail = buf
+        # flush: pad the remaining tail with zeros
+        if tail.shape[1] > lmargin:
+            pad = lmargin + core + rmargin - tail.shape[1]
+            seg = np.pad(tail, ((0, 0), (0, max(pad, 0)), (0, 0)))
+            seg = seg[:, : lmargin + core + rmargin]
+            cands = self._decode_block(jnp.asarray(seg))
+            cands = [cd for cd in cands if lmargin <= cd["t0"] < lmargin + core]
+            yield self._finish(cands, t_offset=base, prev_end=prev_end)
+
     def stream_channels(self, y: np.ndarray, core_len: int | None = None):
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
             y = pack_complex(y)
