@@ -84,36 +84,43 @@ def main():
         use_pallas=args.pallas,
     )
     pipe = Pipeline(cfg)
-    p_in = pipe.channelizer.p_in
-    t = len(wide) - len(wide) % p_in
+    align = pipe.channelizer.p_in * (32 if args.pallas else 1)
+    t = len(wide) - len(wide) % align
     wide = wide[:t]
-
-    # correctness sanity + warm-up compile
-    bursts = pipe.decode_wideband(wide)
-    n_frames = sum(len(b.frames) for b in bursts)
-    print(
-        f"# sanity: {n_bursts} bursts synthesized, {n_frames} frames decoded",
-        file=sys.stderr,
-    )
 
     # production ingest format: interleaved u8 IQ (2 bytes/sample), converted
     # on device — the host->device link is the scarce resource
     from vdlm2dec_tpu.io.sdr import RTL_DC_OFFSET
-    from vdlm2dec_tpu.pipeline import unpack_results
 
     inter = np.empty(2 * t, dtype=np.float32)
     inter[0::2] = wide.real + RTL_DC_OFFSET
     inter[1::2] = wide.imag + RTL_DC_OFFSET
     raw_u8 = np.clip(np.round(inter), 0, 255).astype(np.uint8)
 
-    # warm-up the exact timed path
+    # correctness sanity + warm-up compile of the exact timed program
     cands = pipe.decode_wideband_u8(raw_u8)
-    print(f"# warmup: {len(cands)} candidates", file=sys.stderr)
+    bursts = pipe._finish(cands, 0)
+    n_frames = sum(len(b.frames) for b in bursts)
+    print(
+        f"# sanity: {n_bursts} bursts synthesized, {n_frames} frames decoded "
+        f"({len(cands)} candidates)",
+        file=sys.stderr,
+    )
 
+    # pipelined loop: a fetch thread one block behind the dispatcher
+    # overlaps transfers with device compute (production streaming shape)
+    from vdlm2dec_tpu.pipeline import PipelinedDecoder
+
+    pd = PipelinedDecoder(pipe)
+    n_res = 0
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        cands = pipe.decode_wideband_u8(raw_u8)
+        for _cands in pd.submit(raw_u8):
+            n_res += 1
+    for _cands in pd.drain():
+        n_res += 1
     dt = time.perf_counter() - t0
+    assert n_res == args.iters
 
     samples_per_s = t * args.iters / dt
     msps = samples_per_s / 1e6

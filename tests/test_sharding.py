@@ -66,3 +66,33 @@ def test_sharded_time_only_mesh():
     # the owning shard is shard 2 (9000+sync in [8400, 12600))
     t0s = out["t0"][ok]
     assert any(8400 <= t < 12600 for t in t0s)
+
+
+def test_sharded_wideband_packed_decodes_burst():
+    """Full sharded wideband step (channelize + halo + decode + packing)
+    recovers a real burst with correct global channel/t0."""
+    from vdlm2dec_tpu.parallel.sharding import ShardedWidebandDecoder
+
+    rng = np.random.default_rng(2)
+    fs, sdrclk = 2_000_000, 500
+    p_in = 4 * sdrclk
+    n_time = 4
+    per_shard = 25 * p_in                  # 25 periods -> 2100 samples @84k
+    t_raw = n_time * per_shard
+    offs = (25_000.0, 50_000.0, -25_000.0, -50_000.0)
+
+    content = rng.integers(0, 256, 20).astype(np.uint8)
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=2500, total=t_raw * 21 // sdrclk)
+    wide = mod.upsample_to_wideband(bb, fs, offs[1], total=t_raw)  # channel 1
+    wide = mod.awgn(wide * 20.0, 25.0, rng)
+
+    mesh = make_mesh(2, n_time // 2)
+    dec = ShardedWidebandDecoder(
+        mesh, f_offsets=offs, fs=fs, sdrclk=sdrclk, lo_wrap=True,
+        max_candidates=4, max_symbols=512,
+    )
+    cands = dec.decode(wide.astype(np.complex64))
+    assert any(c["chan"] == 1 for c in cands)
+    good = [c for c in cands if c["chan"] == 1][0]
+    assert abs(good["t0"] - 2636) < 20     # sync trigger near preamble end

@@ -127,6 +127,11 @@ class ShardedWidebandDecoder:
     channelizer-period boundaries (4*SDRCLK samples), so channelization is
     purely local; the per-channel 84 kHz streams then exchange halos over
     ICI and run the decode stages, with channels sharded over "chan".
+
+    packed=True compacts each shard's candidates on device into the packed
+    uint8 row format (pipeline.pack_candidates) so the host does ONE fetch
+    of a (n_shards*max_out, ROW) buffer — the multi-chip analogue of the
+    single-chip fast path.
     """
     mesh: Mesh
     f_offsets: tuple
@@ -135,6 +140,7 @@ class ShardedWidebandDecoder:
     lo_wrap: bool = True
     max_candidates: int = 4
     max_symbols: int = 256
+    packed: bool = True
 
     def __post_init__(self):
         from ..ops.channelizer import aggregation_matrix, lo_tables, period_for
@@ -184,17 +190,25 @@ class ShardedWidebandDecoder:
             y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
             res = _local_decode(y_ext, HALO_LEFT, t84, mc, ms)
             res["t0"] = res["t0"] + shard * t84
+            if self.packed:
+                from ..pipeline import pack_candidates
+
+                chan_base = jax.lax.axis_index("chan") * c
+                return pack_candidates(res, self.max_out, chan_base=chan_base)
             return res
 
-        out_specs = dict(
-            t0=P("chan", "time"), of=P("chan", "time"), df=P("chan", "time"),
-            valid=P("chan", "time"), length=P("chan", "time"),
-            nbrow=P("chan", "time"), nlbyte=P("chan", "time"),
-            ok=P("chan", "time"),
-            blocks=P("chan", "time", None, None),
-            rs_counts=P("chan", "time", None),
-            consumed=P("chan", "time"),
-        )
+        if self.packed:
+            out_specs = P(("chan", "time"), None)
+        else:
+            out_specs = dict(
+                t0=P("chan", "time"), of=P("chan", "time"), df=P("chan", "time"),
+                valid=P("chan", "time"), length=P("chan", "time"),
+                nbrow=P("chan", "time"), nlbyte=P("chan", "time"),
+                ok=P("chan", "time"),
+                blocks=P("chan", "time", None, None),
+                rs_counts=P("chan", "time", None),
+                consumed=P("chan", "time"),
+            )
         self._step = jax.jit(
             jax.shard_map(
                 step,
@@ -207,6 +221,10 @@ class ShardedWidebandDecoder:
             )
         )
         self._consts = (lo_r, lo_i, a, angj)
+
+    @property
+    def max_out(self) -> int:
+        return 64
 
     def decode(self, x) -> dict:
         with self.mesh:
@@ -226,6 +244,10 @@ class ShardedWidebandDecoder:
                 jax.device_put(a, NamedSharding(self.mesh, P(None, None))),
                 jax.device_put(ang, NamedSharding(self.mesh, P("chan"))),
             )
+        if self.packed:
+            from ..pipeline import unpack_results
+
+            return unpack_results(np.asarray(res))
         return jax.tree.map(np.asarray, res)
 
 
