@@ -72,7 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-E", dest="emptymess", action="store_true")
     p.add_argument("-U", dest="undecmess", action="store_true")
     p.add_argument("-b", dest="labelfilter", default=None)
-    p.add_argument("-i", dest="station", default="")
+    # reference default station id = hostname (main.c:120-121)
+    import socket as _socket
+
+    p.add_argument("-i", dest="station", default=_socket.gethostname()[:48])
+    p.add_argument("-p", dest="ppm", type=float, default=0.0,
+                   help="frequency correction in ppm (rtl.c:211-216)")
     p.add_argument("-j", dest="netjson", default=None)
     p.add_argument("-s", dest="netsbs", default=None)
     p.add_argument("-l", dest="logfile", default=None)
@@ -109,6 +114,11 @@ def main(argv=None) -> int:
         fc = choose_fc_airspy(freqs, args.fs)
     else:
         fc = choose_fc(freqs, args.fs)
+    if args.ppm:
+        # a tuner ppm error shifts every RF frequency (and the sample clock;
+        # the demod's per-burst CFO estimator absorbs the residual) — apply
+        # the dominant effect: shift the effective center frequency
+        fc = fc * (1.0 + args.ppm / 1e6)
 
     logfd = open(args.logfile, "a") if args.logfile else None
 
@@ -178,7 +188,11 @@ def main(argv=None) -> int:
             logfd.close()
         return 0
 
-    x = read_capture(args.iq, args.format, offset=cursor)
+    try:
+        x = read_capture(args.iq, args.format, offset=cursor)
+    except OSError as e:
+        print(f"unable to open {args.iq}: {e.strerror or e}", file=sys.stderr)
+        return 1
     metrics.samples_in = len(x)
     n_frames = 0
     for bursts in pipe.stream_wideband(x, block_seconds=args.block_seconds):
