@@ -219,3 +219,19 @@ def test_text_output_xid_identical(tmp_path):
     ref = _strip_dates(_run_reference_text(path, fc, [freq / 1e6]))
     ours = _strip_dates(_run_ours_text(wide, fc, [freq]))
     assert ours == ref
+
+
+def test_undecoded_json_identical(tmp_path):
+    """-U: unknown payloads -> hex 'data' field (overlapping-sprintf quirk:
+    contiguous hex without separators)."""
+    fc = 136_900_000
+    freq = 136_975_000
+    hdr = fg.avlc_header(fg.AIRCRAFT | 0x3C6544, fg.GROUND_A | 0x2)
+    payload = np.array([0x55, 0x66, 0x77, 0x88, 0x01], dtype=np.uint8)
+    content = np.concatenate([hdr, payload])
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = run_reference(path, fc, [freq / 1e6], flags=("-J", "-U"))
+    ours = run_ours(wide, fc, [freq], flags=("-U",))
+    assert len(ref) == 1
+    assert "data" in ref[0]
+    assert _strip(ours) == _strip(ref)

@@ -127,8 +127,12 @@ class FrameDecoder:
                 if cfg.verbose:
                     text.append("unknown data\n")
                 if jb is not None:
-                    hexs = " ".join(f"{int(b):02x}" for b in h[10 : l - 3])
-                    jb.add("data", hexs + " " if hexs else "")
+                    # outundec writes "%02hhx " at offset 2*i — each write
+                    # overwrites the previous space, and the final NUL lands
+                    # on the last space (outacars... out.c:406-418): the JSON
+                    # "data" field is contiguous hex without separators
+                    hexs = "".join(f"{int(b):02x}" for b in h[10 : l - 3])
+                    jb.add("data", hexs)
                 if cfg.verbose > 1:
                     text.append(dumpdata(h[10 : l - 3]))
             elif jb is not None:
