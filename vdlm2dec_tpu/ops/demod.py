@@ -227,3 +227,48 @@ def demod_candidates(
     return jax.vmap(jax.vmap(one, in_axes=(None, None, 0, 0, 0)))(
         fpad, ypad, t0, of, df
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_symbols",))
+def demod_candidates_flat(
+    y: jnp.ndarray,
+    chan: jnp.ndarray,
+    t0: jnp.ndarray,
+    of: jnp.ndarray,
+    df: jnp.ndarray,
+    max_symbols: int,
+    f_all: jnp.ndarray,
+) -> jnp.ndarray:
+    """Demodulate a FLAT candidate list (M,) with per-candidate channel ids.
+
+    Same math as demod_candidates, but candidates are pre-compacted across
+    channels so downstream stages scale with real traffic, not with
+    channels x sync-slots.
+    """
+    c, t, _ = y.shape
+    overrun = 7 + 8 * max_symbols
+    fpad = jnp.pad(f_all, ((0, 0), (0, 0), (0, overrun), (0, 0)))
+    ypad = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))
+
+    def one(ci, t0c, ofc, dfc):
+        clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)
+        win = jax.lax.dynamic_slice(ypad, (ci, t0c, 0), (1, 17, 2))[0]
+        taps1 = jnp.asarray(_EXT_TAPS)[clk0]
+        s1v = jnp.sum(win * taps1[:, None], axis=0)
+        p1 = jnp.arctan2(s1v[1], s1v[0])
+        phi = clk0 % 4
+        s1 = (32 - clk0 + 3) // 4
+        pos = t0c + s1 + 8 * jnp.arange(max_symbols)
+        f = fpad[ci, phi, pos]
+        p = jnp.arctan2(f[:, 1], f[:, 0])
+        pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
+        d = (p - pprev) - dfc
+        d = jnp.where(d > PI, d - TWO_PI, d)
+        d = jnp.where(d < -PI, d + TWO_PI, d)
+        gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
+        g = jnp.asarray(_GRAY32)
+        soft = g[:, gi].T.reshape(-1)
+        ks = jnp.asarray(_KS[: soft.shape[0]])
+        return jnp.where(ks, 1.0 - soft, soft)
+
+    return jax.vmap(one)(chan, t0, of, df)

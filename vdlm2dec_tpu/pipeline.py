@@ -63,7 +63,7 @@ class PipelineConfig:
     fc_hz: float | None = None             # center frequency (None: auto)
     real_input: bool = False               # airspy-style real capture
     lo_wrap: bool = True                   # reference's wrapped LO table
-    max_candidates: int = 16               # sync candidates per channel/block
+    max_candidates: int = 32               # sync candidates per channel/block
     max_symbols: int = MAX_BURST_SYMBOLS   # burst demod window
     sdrclk: int | None = None
     mesh: object | None = None             # jax.sharding.Mesh for multi-chip
@@ -165,9 +165,69 @@ def pack_candidates(res: dict, max_out: int, chan_base=0):
 
 
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
-                          max_out: int):
-    res = _device_decode(y, max_candidates, max_symbols)
-    return pack_candidates(res, max_out)
+                          max_out: int, chan_base=0):
+    """Packed decode with EARLY candidate compaction.
+
+    Sync scan produces (C, K) trigger slots; real traffic is far sparser,
+    so candidates compact to a flat top-max_out list (by validity, then
+    trigger time) BEFORE the expensive per-candidate stages — demod, header,
+    assembly and RS then scale with max_out, not C*K.
+    """
+    from .ops.demod import demod_candidates_flat
+
+    f = polyphase_filter(y)
+    p0 = phase_of(f[:, 0])
+    err, fr = sync_scan(p0)
+    t0, of, df, valid = find_triggers(err, fr, max_candidates)
+
+    c, k = t0.shape
+    n = c * k
+    m = min(max_out, n)
+    big = jnp.int32(1 << 30)
+    key = jnp.where(valid.reshape(n), t0.reshape(n), big)
+    order = jnp.argsort(key)[:m]
+    chan = (order // k).astype(jnp.int32)
+    t0s = t0.reshape(n)[order]
+    ofs = of.reshape(n)[order]
+    dfs = df.reshape(n)[order]
+    live = valid.reshape(n)[order]
+
+    soft = demod_candidates_flat(y, chan, t0s, ofs, dfs, max_symbols, f)
+    length, nbrow, nlbyte, ok = header_decode(soft[:, :25])
+    need = 8 * MAX_TX_BYTES
+    data_soft = soft[:, 25 : 25 + need]
+    if data_soft.shape[1] < need:
+        data_soft = jnp.pad(data_soft, ((0, 0), (0, need - data_soft.shape[1])))
+    blocks, consumed = assemble_blocks(data_soft, nbrow, nlbyte)
+
+    rows = blocks.reshape(m * 8, 255)
+    ridx = jnp.tile(jnp.arange(8), m).reshape(m, 8)
+    is_last = ridx == (nbrow[:, None] - 1)
+    cls_last = jnp.where(
+        nlbyte[:, None] <= 30, 2, jnp.where(nlbyte[:, None] <= 67, 1, 0)
+    )
+    eras_class = jnp.where(is_last, cls_last, 0).reshape(-1)
+    fixed, counts = rs_decode_rows(rows, eras_class)
+
+    live = live & ok
+    meta = jnp.stack(
+        [
+            chan + chan_base,
+            t0s.astype(jnp.int32),
+            length.astype(jnp.int32),
+            nbrow.astype(jnp.int32),
+            nlbyte.astype(jnp.int32),
+            consumed.astype(jnp.int32),
+            live.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(ofs.astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(dfs.astype(jnp.float32), jnp.int32),
+            jnp.zeros((m,), jnp.int32),
+        ],
+        axis=1,
+    )
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(m, 40)
+    rs8 = (counts.reshape(m, 8).astype(jnp.int32) + 1).astype(jnp.uint8)
+    return jnp.concatenate([fixed.reshape(m, 8 * 255), rs8, meta_u8], axis=1)
 
 
 _device_decode_packed_jit = jax.jit(
