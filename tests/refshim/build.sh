@@ -4,10 +4,12 @@
 set -e
 REF=${REF:-/root/reference}
 OUT=${OUT:-$(dirname "$0")/ref_shim}
-cc -O2 -DWITH_RTL -I"$REF" \
-    "$(dirname "$0")/shim.c" \
-    "$REF/d8psk.c" "$REF/vdlm2.c" "$REF/viterbi.c" "$REF/rs.c" \
-    "$REF/crc.c" "$REF/out.c" "$REF/outacars.c" "$REF/outxid.c" \
-    "$REF/label.c" "$REF/cJSON.c" \
+SRCS="$REF/d8psk.c $REF/vdlm2.c $REF/viterbi.c $REF/rs.c \
+      $REF/crc.c $REF/out.c $REF/outacars.c $REF/outxid.c \
+      $REF/label.c $REF/cJSON.c"
+cc -O2 -DWITH_RTL -I"$REF" "$(dirname "$0")/shim.c" $SRCS \
     -lm -lpthread -o "$OUT"
 echo "built $OUT"
+cc -O2 -DWITH_AIR -I"$REF" "$(dirname "$0")/shim_air.c" $SRCS \
+    -lm -lpthread -o "${OUT}_air"
+echo "built ${OUT}_air"

@@ -1,17 +1,9 @@
-/* File-input shim for differential-testing against the reference decoder.
+/* Airspy-mode file-input shim: like shim.c but WITH_AIR semantics —
+ * float32 real samples at 6 Msps (SDRCLK 1500), channels mixed relative to
+ * F0 = Fc + SDRINRATE/4 (air.c:182-185).  Our code; reference sources
+ * compiled unmodified.
  *
- * The reference (TLeconte/vdlm2dec) has no file input (initFile /
- * runFileSample are dead declarations, vdlm2.h:110-111) and its main.c is
- * hard-wired to SDR hardware.  This shim — entirely our code — provides
- * main() plus the globals rtl.c/main.c would define, reads a cu8 capture
- * and replays it through the reference's own barrier pipeline so its
- * unmodified d8psk.c/vdlm2.c/out*.c sources decode it.
- *
- * Build (see build.sh): compiles /root/reference sources unmodified and
- * links this file in place of main.c/rtl.c.
- *
- * Usage: ref_shim <file.cu8> <Fc_Hz> <freq_MHz> [freq_MHz...] [flags...]
- *   flags: -J json, -G ground, -E empty, -U undecoded, -q quiet
+ * Usage: ref_shim_air <file.f32> <Fc_Hz> <freq_MHz>... [-J -G -E -U -q]
  */
 #define _GNU_SOURCE
 #include <complex.h>
@@ -23,7 +15,6 @@
 
 #include "vdlm2.h"
 
-/* globals normally owned by main.c / rtl.c */
 int verbose = 1;
 int grndmess = 0;
 int emptymess = 0;
@@ -36,12 +27,11 @@ char *netOutSbsAddr = NULL;
 char *idstation = "refshim";
 FILE *logfd;
 int gain = 0;
-int ppm = 0;
 
-unsigned int SDRINRATE = 2000000;
-unsigned int SDRCLK = 500;
+unsigned int SDRINRATE = 6000000;
+unsigned int SDRCLK = 1500;
 unsigned int Fc;
-complex float Cbuff[RTLINBUFSZ / 2];
+float Cbuff[RTLINBUFSZ / 2];
 
 int nbch;
 thread_param_t tparam[MAXNBCHANNELS];
@@ -54,12 +44,12 @@ int main(int argc, char **argv)
     int n;
     logfd = stdout;
     if (argc < 4) {
-        fprintf(stderr, "usage: %s file.cu8 Fc_Hz freqMHz... [-J -G -E -U -q]\n",
-                argv[0]);
+        fprintf(stderr, "usage: %s file.f32 Fc_Hz freqMHz... [flags]\n", argv[0]);
         return 1;
     }
     const char *path = argv[1];
     Fc = (unsigned int)strtoul(argv[2], NULL, 10);
+    unsigned int F0 = Fc + SDRINRATE / 4;
     nbch = 0;
     for (n = 3; n < argc; n++) {
         if (argv[n][0] == '-') {
@@ -78,7 +68,7 @@ int main(int argc, char **argv)
             int fr = (int)(1000000.0 * atof(argv[n]));
             tparam[nbch].chn = nbch;
             tparam[nbch].Fr = fr;
-            tparam[nbch].Fo = fr - (int)Fc;
+            tparam[nbch].Fo = fr - (int)F0;
             nbch++;
         }
     }
@@ -94,26 +84,22 @@ int main(int argc, char **argv)
         pthread_create(&th, NULL, rcv_thread, &(tparam[n]));
     }
 
-    unsigned char buf[RTLINBUFSZ];
-    int flush_blocks = 8;     /* zero-fill tail so in-flight bursts finish */
+    static float tmp[RTLINBUFSZ / 2];
+    int flush_blocks = 16;
     for (;;) {
-        size_t got = fread(buf, 1, RTLINBUFSZ, fh);
-        if (got < RTLINBUFSZ) {
-            memset(buf + got, 127, RTLINBUFSZ - got);
+        size_t got = fread(tmp, sizeof(float), RTLINBUFSZ / 2, fh);
+        if (got < RTLINBUFSZ / 2) {
+            memset(tmp + got, 0, (RTLINBUFSZ / 2 - got) * sizeof(float));
             if (got == 0 && flush_blocks-- <= 0)
                 break;
         }
+        /* producer fills Cbuff only between Bar1 and Bar2 (air.c:203-211) */
         pthread_barrier_wait(&Bar1);
-        for (int i = 0; i < RTLINBUFSZ; i += 2) {
-            float r = (float)buf[i] - (float)127.37;
-            float g = (float)buf[i + 1] - (float)127.37;
-            Cbuff[i / 2] = r + g * I;
-        }
+        memcpy(Cbuff, tmp, sizeof(Cbuff));
         pthread_barrier_wait(&Bar2);
     }
     fclose(fh);
     stopVdlm2();
     fflush(logfd);
-    /* rcv_threads are parked on the barrier; just exit */
     _exit(0);
 }

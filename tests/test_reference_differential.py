@@ -235,3 +235,147 @@ def test_undecoded_json_identical(tmp_path):
     assert len(ref) == 1
     assert "data" in ref[0]
     assert _strip(ours) == _strip(ref)
+
+
+def test_fuzz_random_frames_identical(tmp_path):
+    """Randomized AVLC payloads through both decoders with -G -E -U:
+    JSON must agree field-for-field regardless of payload type."""
+    rng = np.random.default_rng(99)
+    fc = 136_900_000
+    freq = 136_975_000
+    all_ref, all_ours = [], []
+    for trial in range(6):
+        kind = trial % 3
+        from_addr = int(rng.integers(0, 1 << 27))
+        to_addr = int(rng.integers(0, 1 << 27))
+        lc = int(rng.integers(0, 256))
+        if kind == 0:      # random unknown payload
+            hdr = fg.avlc_header(from_addr, to_addr, link_ctrl=lc)
+            payload = rng.integers(0, 256, int(rng.integers(0, 24))).astype(np.uint8)
+            content = np.concatenate([hdr, payload])
+        elif kind == 1:    # ACARS with random printable text
+            txt = "".join(chr(int(c)) for c in rng.integers(0x20, 0x7F, 40))
+            content = fg.acars_frame(
+                from_addr=from_addr, to_addr=to_addr, text=txt,
+                label="".join(chr(int(c)) for c in rng.integers(0x41, 0x5B, 2)),
+            )
+        else:              # XID with several private params
+            content = fg.xid_frame(
+                from_addr=from_addr, to_addr=to_addr,
+                params=[
+                    (0x01, bytes([int(rng.integers(0, 16))])),
+                    (0x02, bytes([int(rng.integers(0, 10))])),
+                    (0x83, bytes("KJFK", "ascii")),
+                    (0xC3, bytes("EGLL", "ascii")),
+                ],
+            )
+        path, wide = _mk_capture(tmp_path, [(freq, 900, content)],
+                                 seconds=0.3, seed=trial)
+        flags = ("-J", "-G", "-E", "-U")
+        ref = run_reference(path, fc, [freq / 1e6], flags=flags)
+        ours = run_ours(wide, fc, [freq], flags=("-G", "-E", "-U"))
+        all_ref.extend(_strip(ref))
+        all_ours.extend(_strip(ours))
+    assert all_ref, "reference decoded nothing at all"
+    assert all_ours == all_ref
+
+
+# ---------------------------------------------------------------------------
+# airspy-mode (f32-real) parity
+# ---------------------------------------------------------------------------
+
+SHIM_AIR = SHIM + "_air"
+
+
+@pytest.mark.skipif(not os.path.exists(SHIM + "_air"), reason="no air shim")
+def test_airspy_real_input_identical(tmp_path):
+    """6 Msps float32-real capture through the reference (WITH_AIR) and our
+    real-input pipeline: identical JSON."""
+    fs, sdrclk = 6_000_000, 1500
+    fc = 136_800_000
+    f0 = fc + fs / 4
+    freq = 136_975_000
+    rng = np.random.default_rng(5)
+
+    content = fg.acars_frame(text="AIR DIFF", label="Q0", reg=".FHBND")
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=900, total=42_000)
+    ratio = fs / 84_000
+    n = int(42_000 * ratio)
+    tt = np.arange(n) / ratio
+    i0 = np.clip(np.floor(tt).astype(int), 0, len(bb) - 2)
+    frac = tt - i0
+    up = bb[i0] * (1 - frac) + bb[i0 + 1] * frac
+    fo = freq - f0
+    real_sig = 2.0 * np.real(
+        up * np.exp(1j * 2 * np.pi * fo / fs * np.arange(n))
+    )
+    real_sig = (real_sig * 30 + rng.normal(size=n)).astype(np.float32)
+    path = str(tmp_path / "cap.f32")
+    real_sig.tofile(path)
+
+    r = subprocess.run(
+        [SHIM_AIR, path, str(fc), f"{freq / 1e6:.6f}", "-J"],
+        capture_output=True, text=True, timeout=120,
+    )
+    ref = [json.loads(l) for l in r.stdout.splitlines() if l.strip().startswith("{")]
+
+    cfg = PipelineConfig(
+        freqs_hz=[float(freq)], fs=fs, fc_hz=float(fc), real_input=True,
+        sdrclk=sdrclk, max_symbols=1024, max_candidates=8,
+    )
+    pipe = Pipeline(cfg)
+    buf = io.StringIO()
+    dec = FrameDecoder(OutputConfig(verbose=0, jsonout=True, logfile=buf))
+    for bursts in pipe.stream_channels(np.asarray(pipe.channelizer(real_sig))):
+        for b in bursts:
+            dec.process_burst(b)
+    ours = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(ref) == 1, f"reference decoded {len(ref)}: {r.stdout[:200]}"
+    assert _strip(ours) == _strip(ref)
+
+
+def test_route_and_reg_identical(tmp_path):
+    """-R route JSON and -a registration CSV parity."""
+    fc = 136_900_000
+    freq = 136_975_000
+    content = fg.acars_frame(
+        text="LFPGKJFKA1B2C3D4E5F6G7H8KJFK", label="Q1", reg=".FHBND"
+    )
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+
+    # -R: route json
+    r = subprocess.run([SHIM, path, str(fc), f"{freq/1e6:.6f}", "-R"],
+                       capture_output=True, text=True, timeout=120)
+    ref_route = [json.loads(l) for l in r.stdout.splitlines()
+                 if l.strip().startswith("{")]
+    cfg = PipelineConfig(freqs_hz=[float(freq)], fs=2_000_000,
+                         fc_hz=float(fc), max_symbols=1024, max_candidates=8)
+    pipe = Pipeline(cfg)
+    buf = io.StringIO()
+    dec = FrameDecoder(OutputConfig(verbose=0, jsonout=True, routeout=True,
+                                    logfile=buf))
+    for bursts in pipe.stream_channels(
+        np.asarray(pipe.channelizer(wide.astype(np.complex64)))
+    ):
+        for b in bursts:
+            dec.process_burst(b)
+    ours_route = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(ref_route) == 1
+    assert _strip(ours_route) == _strip(ref_route)
+
+    # -a: registration csv (reference prints to the same stdout)
+    r2 = subprocess.run([SHIM, path, str(fc), f"{freq/1e6:.6f}", "-a"],
+                        capture_output=True, text=True, timeout=120)
+    ref_csv = [l for l in r2.stdout.splitlines() if "," in l]
+    buf2 = io.StringIO()
+    dec2 = FrameDecoder(OutputConfig(verbose=0, regout=True, logfile=buf2))
+    pipe2 = Pipeline(cfg)
+    for bursts in pipe2.stream_channels(
+        np.asarray(pipe2.channelizer(wide.astype(np.complex64)))
+    ):
+        for b in bursts:
+            dec2.process_burst(b)
+    ours_csv = [l for l in buf2.getvalue().splitlines() if "," in l]
+    assert ref_csv == ["3C6544,F-HBND"]
+    assert ours_csv == ref_csv
