@@ -201,7 +201,7 @@ def _strip_dates(text):
     import re
 
     text = re.sub(r"\d\d/\d\d/\d{4} \d\d:\d\d:\d\d\.\d{3}", "<TS>", text)
-    return re.sub(r"P:[+-]\d\d\d\.\d", "P:<PPM>", text)
+    return re.sub(r"P:[+-]\d+\.\d", "P:<PPM>", text)
 
 
 def test_text_output_identical(tmp_path):
