@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="disable the fused Pallas channelizer kernel")
     ap.set_defaults(pallas=True)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed loop")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +115,11 @@ def main():
 
     pd = PipelinedDecoder(pipe)
     n_res = 0
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else None
+    )
+    if profile_cm:
+        profile_cm.__enter__()
     t0 = time.perf_counter()
     for _ in range(args.iters):
         for _cands in pd.submit(raw_u8):
@@ -120,6 +127,8 @@ def main():
     for _cands in pd.drain():
         n_res += 1
     dt = time.perf_counter() - t0
+    if profile_cm:
+        profile_cm.__exit__(None, None, None)
     assert n_res == args.iters
 
     samples_per_s = t * args.iters / dt
