@@ -404,3 +404,79 @@ def test_empty_and_sframe_text_identical(tmp_path):
     assert "Frame-S: Nr:0 RR" in ref
     assert "Frame-I: Ns:2 Nr:1" in ref
     assert ours == ref
+
+
+def test_xid_all_private_params_text_identical(tmp_path):
+    """All 18 private XID parameter renderers vs the reference."""
+    fc = 136_900_000
+    freq = 136_975_000
+    lat_raw = int(-33.9 * 160) & 0xFFFF
+    lon_raw = int(18.4 * 160) & 0xFFFF
+    pos = bytes([(lat_raw >> 8) & 0xFF,
+                 (lat_raw & 0xF0) | ((lon_raw >> 12) & 0x0F),
+                 (lon_raw >> 4) & 0xFF, 110])
+    gs1 = fg.encode_icaoaddr(fg.GROUND_D | 0x10902A)
+    gs2 = fg.encode_icaoaddr(fg.GROUND_A | 0x2A2A2A)
+    freq_support = bytes([0x20 | 0x05, 0x9B]) + fg.encode_icaoaddr(
+        fg.GROUND_D | 0x111111
+    )
+    params = [
+        (0x01, bytes([0x0D])),
+        (0x02, bytes([7])),
+        (0x03, bytes([0x42])),
+        (0x04, bytes([0x1F])),
+        (0x05, bytes([0x9A])),
+        (0x06, bytes([0x77])),
+        (0x81, bytes([0x02])),
+        (0x82, gs1 + gs2),
+        (0x83, b"FAOR"),
+        (0x84, pos),
+        (0xC0, freq_support),
+        (0xC1, b"FAORFACT"),
+        (0xC3, b"FACT"),
+        (0xC4, bytes([0x12, 0x34, 0x56, 0xAB, 0xCD, 0xEF])),
+        (0xC5, fg.encode_icaoaddr(fg.GROUND_D | 0x3FFFFF)),
+        (0xC8, pos[:3] + b"\x00"),
+        (0xEE, bytes([0x01, 0x02])),      # unknown id branch
+    ]
+    content = fg.xid_frame(params=params)
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = _strip_dates(_run_reference_text(path, fc, [freq / 1e6]))
+    ours = _strip_dates(_run_ours_text(wide, fc, [freq]))
+    assert "Acceptable alternative ground stations" in ref
+    assert "Frequency support" in ref
+    assert "unknown private id ee" in ref
+    assert ours == ref
+
+
+def test_multi_frame_burst_quirk_identical(tmp_path):
+    """Two frames in one burst: the reference's check_frame CRCs from the
+    buffer start, so only the FIRST frame ever passes — both decoders must
+    agree on that behaviour."""
+    from vdlm2dec_tpu.golden.codec import build_burst_bitstream
+
+    fc = 136_900_000
+    freq = 136_975_000
+    c1 = fg.acars_frame(text="FIRST", label="Q0")
+    c2 = fg.acars_frame(text="SECOND", label="Q0")
+
+    # hand-build a burst whose HDLC stream holds both frames
+    import vdlm2dec_tpu.modulator as m
+
+    bits = build_burst_bitstream([c1, c2])
+    # route through make_burst by concatenating the two frames manually:
+    # make_burst only takes frame contents — pass both
+    plan = m.make_burst([c1, c2])
+    rng = np.random.default_rng(11)
+    bb = m.synthesize_baseband(plan, start=900, total=42_000)
+    wide = m.upsample_to_wideband(bb, 2_000_000, freq - fc,
+                                  total=1_000_000) * 40.0
+    wide += (rng.normal(size=1_000_000) + 1j * rng.normal(size=1_000_000))
+    path = str(tmp_path / "cap2.cu8")
+    write_capture(path, wide, "cu8")
+
+    ref = run_reference(path, fc, [freq / 1e6])
+    ours = run_ours(wide, fc, [freq])
+    texts_ref = [o.get("text") for o in ref]
+    assert texts_ref == ["FIRST"], f"reference decoded {texts_ref}"
+    assert _strip(ours) == _strip(ref)
