@@ -86,6 +86,17 @@ def _matrices() -> dict[str, np.ndarray]:
     return out
 
 
+@functools.lru_cache(maxsize=1)
+def _mul_table() -> np.ndarray:
+    """(256*256,) GF(2^8) product LUT: one gather replaces two log gathers,
+    an add, a mod and a zero-select in the BM/omega inner loops."""
+    a = np.arange(256)
+    t = _EXPN[(_LOGN[a][:, None] + _LOGN[a][None, :]) % 255]
+    t[0, :] = 0
+    t[:, 0] = 0
+    return t.reshape(-1).astype(np.int32)
+
+
 def _mod2_matmul(bits: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     acc = jnp.dot(bits.astype(jnp.float32), m, preferred_element_type=jnp.float32)
     return acc.astype(jnp.int32) & 1
@@ -103,6 +114,10 @@ def _gfmul(a: jnp.ndarray, b: jnp.ndarray, exp, log) -> jnp.ndarray:
     return jnp.where((a == 0) | (b == 0), 0, out)
 
 
+def _gfmul_lut(a: jnp.ndarray, b: jnp.ndarray, mul) -> jnp.ndarray:
+    return mul[a * 256 + b]
+
+
 @functools.partial(jax.jit)
 def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of RS rows.
@@ -115,6 +130,7 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
     mats = _matrices()
     exp = jnp.asarray(_EXPN)
     log = jnp.asarray(_LOGN)
+    mul = jnp.asarray(_mul_table())
     m = rows.shape[0]
     data = rows.astype(jnp.int32)
 
@@ -136,7 +152,7 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
         # discrepancy: XOR_{i<r} lam[i] * s[r-1-i]
         discr = jnp.zeros((m,), dtype=jnp.int32)
         for i in range(r):
-            discr = discr ^ _gfmul(lam[:, i], s[:, r - 1 - i], exp, log)
+            discr = discr ^ _gfmul_lut(lam[:, i], s[:, r - 1 - i], mul)
         dlog = log[discr]
         dz = discr == 0
 
@@ -178,7 +194,7 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
     for i in range(RS_ROOTS):
         acc = jnp.zeros((m,), dtype=jnp.int32)
         for jj in range(i + 1):
-            acc = acc ^ _gfmul(s[:, i - jj], lam[:, jj], exp, log)
+            acc = acc ^ _gfmul_lut(s[:, i - jj], lam[:, jj], mul)
         omega.append(acc)
     omega = jnp.stack(omega, axis=1)                    # (M, 6)
 
