@@ -84,6 +84,9 @@ def main():
         max_candidates=max_cand,
         max_symbols=args.max_symbols,
         use_pallas=args.pallas,
+        # decode slots sized for dense traffic (~11 bursts/s/channel at
+        # median burst length) rather than channels x sync slots
+        max_out=max(64, int(11 * args.seconds * args.channels)),
     )
     pipe = Pipeline(cfg)
     align = pipe.channelizer.p_in * (32 if args.pallas else 1)

@@ -68,6 +68,7 @@ class PipelineConfig:
     sdrclk: int | None = None
     mesh: object | None = None             # jax.sharding.Mesh for multi-chip
     use_pallas: bool = False               # fused VMEM channelizer kernel
+    max_out: int | None = None             # decode slots per block (None: auto)
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -377,6 +378,9 @@ class Pipeline:
         return unpack_results(np.asarray(buf))
 
     def _max_out(self) -> int:
+        if self.cfg.max_out is not None:
+            return min(self.cfg.max_out,
+                       len(self.cfg.freqs_hz) * self.cfg.max_candidates)
         return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 512)
 
     def decode_wideband_u8(self, raw: np.ndarray) -> list[dict]:
