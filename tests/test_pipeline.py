@@ -107,3 +107,26 @@ def test_pipeline_matches_golden_frames():
     tpu_frames = [tuple(f.tolist()) for b in bursts for f in b.frames]
     assert gold_frames, "golden decoded nothing"
     assert tpu_frames == gold_frames
+
+
+def test_pipeline_max_capacity_burst():
+    """A large multi-row burst through the full-capacity demod window
+    (max_symbols = MAX_BURST_SYMBOLS, the production default)."""
+    from vdlm2dec_tpu.constants import MAX_BURST_SYMBOLS
+
+    rng = np.random.default_rng(9)
+    content = rng.integers(0, 256, 900).astype(np.uint8)   # ~4 RS rows
+    plan = mod.make_burst([content])
+    assert plan.nbrow >= 4
+    nsym = len(plan.symbol_phases)
+    total = (400 + (nsym + 40) * 8)
+    sig = mod.synthesize_baseband(plan, start=400, total=total)
+    sig = mod.awgn(sig, 18.0, rng)
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=MAX_BURST_SYMBOLS, max_candidates=4)
+    pipe = Pipeline(cfg)
+    bursts = [b for b in pipe.decode_channels(sig[None, :].astype(np.complex64))
+              if b.frames]
+    assert len(bursts) == 1
+    assert bursts[0].nbrow == plan.nbrow
+    np.testing.assert_array_equal(bursts[0].frames[0][1:-3], content)
