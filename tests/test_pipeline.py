@@ -130,3 +130,27 @@ def test_pipeline_max_capacity_burst():
     assert len(bursts) == 1
     assert bursts[0].nbrow == plan.nbrow
     np.testing.assert_array_equal(bursts[0].frames[0][1:-3], content)
+
+
+def test_pipeline_rs_corrects_iq_corruption():
+    """Symbols corrupted at IQ level are repaired by RS: frame recovers and
+    rs_counts reports corrections."""
+    rng = np.random.default_rng(10)
+    content = _mk_frame(rng, 300)          # 2 RS rows: the column-major
+    plan = mod.make_burst([content])       # interleave spreads adjacent
+    assert plan.nbrow == 2                 # corrupted bytes across rows
+    sig = mod.synthesize_baseband(plan, start=400, total=3 * 8400)
+    # wipe two 3-symbol spans in the data region (after the 17 sync + ~9
+    # header symbols): each wrecks ~3 consecutive channel bytes
+    for sym in (80, 400):
+        a = 400 + sym * 8
+        sig[a : a + 24] = 0.1 * (rng.normal(size=24) + 1j * rng.normal(size=24))
+    sig = mod.awgn(sig, 18.0, rng)
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=1024, max_candidates=4)
+    pipe = Pipeline(cfg)
+    bursts = [b for b in pipe.decode_channels(sig[None, :].astype(np.complex64))
+              if b.frames]
+    assert len(bursts) == 1
+    np.testing.assert_array_equal(bursts[0].frames[0][1:-3], content)
+    assert sum(c for c in bursts[0].rs_counts if c > 0) >= 2
