@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint file: resume from it and update per block")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas channelizer kernel")
+    p.add_argument("--channel-filter", default="boxcar",
+                   choices=["boxcar", "fir"],
+                   help="boxcar = reference-parity integrate-and-dump; "
+                        "fir = windowed-sinc with >60 dB adjacent-channel "
+                        "rejection")
 
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-q", dest="quiet", action="store_true")
@@ -139,6 +144,7 @@ def main(argv=None) -> int:
         max_symbols=min(MAX_BURST_SYMBOLS, args.max_rows * 680 + 16),
         mesh=mesh,
         use_pallas=args.pallas,
+        filter_mode=args.channel_filter,
     )
     pipe = Pipeline(cfg)
 

@@ -69,6 +69,9 @@ class PipelineConfig:
     mesh: object | None = None             # jax.sharding.Mesh for multi-chip
     use_pallas: bool = False               # fused VMEM channelizer kernel
     max_out: int | None = None             # decode slots per block (None: auto)
+    filter_mode: str = "boxcar"            # "fir": >60 dB adjacent-channel
+                                           # rejection (beats the reference's
+                                           # ~1 dB boxcar); boxcar = parity
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -333,6 +336,7 @@ class Pipeline:
             sdrclk=self.sdrclk,
             lo_wrap=cfg.lo_wrap,
             real_input=cfg.real_input,
+            filter_mode=cfg.filter_mode,
         )
         self._sharded = None
         if cfg.mesh is not None:
