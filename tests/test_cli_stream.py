@@ -128,3 +128,55 @@ def test_live_pipe_stdin(tmp_path):
     lines = [l for l in log.read_text().splitlines() if l.strip()]
     assert len(lines) == 1
     assert json.loads(lines[0])["text"] == "LIVE PIPE"
+
+
+def test_stream_wideband_u8_matches_f32_stream():
+    """The fused u8 streaming path (overlap + pipelining) decodes the same
+    frames as the f32 streaming path, including a block-seam burst."""
+    from vdlm2dec_tpu.io.sdr import RTL_DC_OFFSET
+
+    rng = np.random.default_rng(7)
+    fs, fc = 2_000_000, 136_900_000
+    freq = 136_975_000
+    total = 3 * fs // 2                    # 1.5 s
+    wide = np.zeros(total, dtype=np.complex128)
+    contents = []
+    # block_seconds=0.5 -> core boundaries every 42000 decimated samples;
+    # burst 2 straddles the first boundary
+    for st in (2000, 41_500, 100_000):
+        c = fg.acars_frame(text=f"U8S{st}", label="Q0")
+        contents.append(c)
+        plan = mod.make_burst([c])
+        bb = mod.synthesize_baseband(plan, start=st, total=126_000)
+        wide += mod.upsample_to_wideband(bb, fs, freq - fc, total=total)
+    wide = wide * 40 + (rng.normal(size=total) + 1j * rng.normal(size=total))
+    wide = wide.astype(np.complex64)
+
+    cfg = PipelineConfig(freqs_hz=[float(freq)], fs=fs, fc_hz=float(fc),
+                         max_symbols=512, max_candidates=8)
+    pipe = Pipeline(cfg)
+    ref_frames = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in pipe.stream_wideband(wide, block_seconds=0.5)
+        for b in bursts for f in b.frames
+    )
+    assert len(ref_frames) == 3
+
+    inter = np.empty(2 * total, dtype=np.float32)
+    inter[0::2] = wide.real + RTL_DC_OFFSET
+    inter[1::2] = wide.imag + RTL_DC_OFFSET
+    raw = np.clip(np.round(inter), 0, 255).astype(np.uint8)
+
+    pipe2 = Pipeline(cfg)
+    u8_frames = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in pipe2.stream_wideband_u8(raw, block_seconds=0.5)
+        for b in bursts for f in b.frames
+    )
+    # cu8 quantisation of the f32 stimulus can flip borderline soft bits,
+    # so compare frame CONTENT (both decoders see the same u8 bytes only in
+    # the u8 path); require the same 3 payloads at matching trigger times
+    assert len(u8_frames) == 3
+    for (t_ref, f_ref), (t_u8, f_u8) in zip(ref_frames, u8_frames):
+        assert abs(t_ref - t_u8) <= 2
+        assert f_ref == f_u8

@@ -179,13 +179,18 @@ def main(argv=None) -> int:
     if args.iq == "-":
         # live pipe: rtl_sdr/airspy_rx | vdlm2t ... --iq -
         n_frames = 0
-        for bursts in pipe.stream_live(
-            "-", fmt=args.format, block_seconds=args.block_seconds
-        ):
-            metrics.observe_bursts(bursts)
-            for b in bursts:
-                dec.process_burst(b)
-                n_frames += len(b.frames)
+        try:
+            for bursts in pipe.stream_live(
+                "-", fmt=args.format, block_seconds=args.block_seconds
+            ):
+                metrics.observe_bursts(bursts)
+                for b in bursts:
+                    dec.process_burst(b)
+                    n_frames += len(b.frames)
+        except KeyboardInterrupt:
+            # drain-and-exit semantics (sighandler -> stopVdlm2,
+            # main.c:106-110): in-flight host work is already flushed
+            pass
         if args.stats:
             print(metrics.report(), file=sys.stderr)
         if verbose:
@@ -201,17 +206,29 @@ def main(argv=None) -> int:
         return 1
     metrics.samples_in = len(x)
     n_frames = 0
-    for bursts in pipe.stream_wideband(x, block_seconds=args.block_seconds):
-        metrics.observe_bursts(bursts)
-        for b in bursts:
-            dec.process_burst(b)
-            n_frames += len(b.frames)
-        if args.checkpoint:
-            # stream cursor advances block by block (approximate: frames in
-            # the current block may re-emit on resume; downstream consumers
-            # dedup on timestamp+content as with any at-least-once feed)
-            cursor += int(args.block_seconds * args.fs)
-            save_checkpoint(args.checkpoint, min(cursor, len(x)), dec.flights)
+    if (args.format == "cu8" and cfg.lo_wrap and mesh is None
+            and cursor == 0 and not args.checkpoint):
+        # fast path: raw u8 blocks through the fused pipelined device program
+        raw = np.fromfile(args.iq, dtype=np.uint8)
+        stream = pipe.stream_wideband_u8(raw, block_seconds=args.block_seconds)
+    else:
+        stream = pipe.stream_wideband(x, block_seconds=args.block_seconds)
+    try:
+        for bursts in stream:
+            metrics.observe_bursts(bursts)
+            for b in bursts:
+                dec.process_burst(b)
+                n_frames += len(b.frames)
+            if args.checkpoint:
+                # stream cursor advances block by block (approximate: frames
+                # in the current block may re-emit on resume; downstream
+                # consumers dedup on timestamp+content as with any
+                # at-least-once feed)
+                cursor += int(args.block_seconds * args.fs)
+                save_checkpoint(args.checkpoint, min(cursor, len(x)),
+                                dec.flights)
+    except KeyboardInterrupt:
+        pass
     metrics.frames_emitted = dec.stats.acars + dec.stats.xid
     if args.stats:
         print(metrics.report(), file=sys.stderr)

@@ -441,6 +441,65 @@ class Pipeline:
         y = np.concatenate(ys, axis=1)
         yield from self.stream_channels(y)
 
+    def stream_wideband_u8(self, raw: np.ndarray, block_seconds: float = 2.0,
+                           pipelined: bool = True):
+        """Fast streaming decode of a cu8 capture: fixed overlapping raw
+        blocks through the fused u8 device program (one dispatch + one fetch
+        per block, optionally overlapped via PipelinedDecoder).
+
+        Requires lo_wrap=True (the reference's LO mode, the default): the
+        fused program is block-position independent there.
+        Yields lists of DecodedBurst.
+        """
+        assert self.cfg.lo_wrap, "u8 streaming requires lo_wrap=True"
+        ch = self.channelizer
+        p_in, p_out = ch.p_in, ch.p_out
+        align = 32 if self.cfg.use_pallas else 1
+        # margins in whole periods
+        lmarg_p = -(-160 // p_out)                     # >=160 decimated
+        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
+        core_p = max(1, int(block_seconds * self.cfg.fs) // p_in)
+        # round the EXTENDED block to the pallas alignment
+        total_p = lmarg_p + core_p + rmarg_p
+        total_p += (-total_p) % align
+        rmarg_p = total_p - lmarg_p - core_p
+        lmarg_dec = lmarg_p * p_out
+        core_dec = core_p * p_out
+
+        t_samp = len(raw) // 2
+        n_core = -(-t_samp // (core_p * p_in))
+        pd = PipelinedDecoder(self) if pipelined else None
+        prev_end: dict[int, int] = {}
+        pending: list[tuple[int, int]] = []            # (block index, t_off)
+
+        def seg_bytes(i):
+            lo = (i * core_p - lmarg_p) * p_in * 2
+            hi = lo + total_p * p_in * 2
+            seg = np.full(hi - lo, 127, dtype=np.uint8)
+            s_lo, s_hi = max(lo, 0), min(hi, 2 * t_samp)
+            if s_hi > s_lo:
+                seg[s_lo - lo : s_hi - lo] = raw[s_lo:s_hi]
+            return seg
+
+        def finish(cands, t_off):
+            cands = [
+                cd for cd in cands
+                if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec
+            ]
+            return self._finish(cands, t_offset=t_off, prev_end=prev_end)
+
+        for i in range(n_core):
+            t_off = i * core_dec - lmarg_dec
+            if pd is None:
+                yield finish(self.decode_wideband_u8(seg_bytes(i)), t_off)
+            else:
+                pending.append(t_off)
+                for cands in pd.submit(seg_bytes(i)):
+                    yield finish(cands, pending.pop(0))
+        if pd is not None:
+            for cands in pd.drain():
+                yield finish(cands, pending.pop(0))
+
     def stream_live(self, source, fmt: str = "cu8", block_seconds: float = 2.0):
         """Incremental decode of a pipe/growing stream (e.g. rtl_sdr |).
 
