@@ -20,7 +20,26 @@ import numpy as np
 
 
 def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
-    """Wideband capture with periodic bursts on every channel."""
+    """Wideband capture with periodic bursts on every channel.
+
+    Synthesis is pure-host and costs ~1 min for 2 s x 8 channels, so the
+    result is cached on disk keyed by parameters (repeated/driver runs skip
+    straight to the decode)."""
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"vdlm2_bench_{fs}_{n_channels}_{seconds}_{seed}.npz",
+    )
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            return (z["wide"], [int(f) for f in z["freqs"]], int(z["fc"]),
+                    int(z["n_bursts"]))
+        except Exception:
+            pass
+
     from vdlm2dec_tpu import modulator as mod
     from vdlm2dec_tpu.constants import DEMOD_RATE
 
@@ -45,6 +64,11 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
         wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total_wide)
     noise = rng.normal(size=total_wide) + 1j * rng.normal(size=total_wide)
     wide = (wide + 0.02 * noise).astype(np.complex64)
+    try:
+        np.savez(cache, wide=wide, freqs=np.array(freqs), fc=fc,
+                 n_bursts=n_bursts)
+    except OSError:
+        pass
     return wide, freqs, fc, n_bursts
 
 

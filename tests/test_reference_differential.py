@@ -480,3 +480,18 @@ def test_multi_frame_burst_quirk_identical(tmp_path):
     texts_ref = [o.get("text") for o in ref]
     assert texts_ref == ["FIRST"], f"reference decoded {texts_ref}"
     assert _strip(ours) == _strip(ref)
+
+
+def test_json_escaping_identical(tmp_path):
+    """ACARS text containing quotes/backslash/control chars: cJSON vs our
+    JSON escaping must agree byte-for-byte in the text field."""
+    fc = 136_900_000
+    freq = 136_975_000
+    txt = 'A"B\\C\tD\x01E/F'
+    content = fg.acars_frame(text=txt, label="Q0")
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = run_reference(path, fc, [freq / 1e6])
+    ours = run_ours(wide, fc, [freq])
+    assert len(ref) == 1
+    assert ref[0]["text"] == txt
+    assert _strip(ours) == _strip(ref)
