@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
-
 import numpy as np
 
 from .constants import MAX_BURST_SYMBOLS

@@ -7,7 +7,7 @@ branch, replicated for output parity and documented in tests).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -7,17 +7,16 @@ configured sink (text log, JSON lines, UDP JSON, TCP SBS, route/reg).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..pipeline import DecodedBurst
 from . import arinc
-from .acars import AcarsMessage, LabelFilter, Oooi, decode_label, parse_acars
+from .acars import LabelFilter, decode_label, parse_acars
 from .avlc import format_addr, format_linkctrl, parse_frame
 from .flights import FlightTracker
 from .output import (
-    JsonBuilder,
     NetSink,
     OutputConfig,
     add_acars_json,

@@ -17,13 +17,12 @@ import json
 import socket
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timezone
 
 import numpy as np
 
 from .acars import AcarsMessage, Oooi
-from .avlc import format_addr, format_linkctrl
 from .flights import Flight
 
 APP_NAME = "vdlm2dec"

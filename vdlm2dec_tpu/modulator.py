@@ -19,7 +19,6 @@ from .constants import (
     KEYSTREAM,
     RS_K,
     SPS,
-    STEPRATE,
     SYNC_PHASES,
 )
 from .golden.codec import (

@@ -30,15 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import (
-    D8PSK_BITS,  # noqa: F401  (documentation cross-ref)
     GRAY_TABLES,
     KEYSTREAM,
-    MAX_BURST_BITS,
     MBUFLEN,
     MFLT,
-    NBPH,
     POLYPHASE,
-    SPS,
     SYNC_PHASES,
     SYNC_THRESHOLD,
 )

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import GF_A0, GF_EXP, GF_LOG, RS_FCR, RS_K, RS_N, RS_ROOTS
+from ..constants import GF_A0, GF_EXP, GF_LOG, RS_FCR, RS_N, RS_ROOTS
 
 _EXPN = GF_EXP.astype(np.int32)     # exp table, [255] = 0
 _LOGN = GF_LOG.astype(np.int32)     # log table, log(0) = 255 (A0)

@@ -21,7 +21,6 @@ stream (24x less ICI traffic than raw-rate halos).
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -30,7 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import DEMOD_RATE
 from ..ops.demod import (
     demod_candidates,
     find_triggers,

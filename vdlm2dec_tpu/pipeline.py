@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .constants import DEMOD_RATE, MAX_BURST_SYMBOLS, RS_K, SPS
+from .constants import DEMOD_RATE, MAX_BURST_SYMBOLS, RS_K
 from .golden.codec import Unstuffer, frame_crc_ok
 from .ops.assembly import MAX_TX_BYTES, assemble_blocks
 from .ops.channelizer import Channelizer
