@@ -186,13 +186,31 @@ class ShardedWidebandDecoder:
             )                                     # (C, T84, 2)
             t84 = y.shape[1]
             y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
-            res = _local_decode(y_ext, HALO_LEFT, t84, mc, ms)
-            res["t0"] = res["t0"] + shard * t84
             if self.packed:
-                from ..pipeline import pack_candidates
+                # early-compaction packed decode (same program as the
+                # single-chip fast path); t0 comes back core-relative,
+                # globalised below via the shard offset baked into meta
+                from ..pipeline import _device_decode_packed
 
                 chan_base = jax.lax.axis_index("chan") * c
-                return pack_candidates(res, self.max_out, chan_base=chan_base)
+                buf = _device_decode_packed(
+                    y_ext, mc, ms, self.max_out,
+                    chan_base=chan_base,
+                    core_start=HALO_LEFT, core_len=t84,
+                )
+                # add the shard's global offset to the packed t0 meta word
+                shard_off = (shard * t84).astype(jnp.int32)
+                meta_t0 = jax.lax.bitcast_convert_type(
+                    buf[:, 2052:2056], jnp.int32
+                ) + shard_off      # bitcast of (M, 4) u8 collapses to (M,)
+                t0_u8 = jax.lax.bitcast_convert_type(
+                    meta_t0[:, None], jnp.uint8
+                ).reshape(-1, 4)
+                return jnp.concatenate(
+                    [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
+                )
+            res = _local_decode(y_ext, HALO_LEFT, t84, mc, ms)
+            res["t0"] = res["t0"] + shard * t84
             return res
 
         if self.packed:

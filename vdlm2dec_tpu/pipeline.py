@@ -169,13 +169,18 @@ def pack_candidates(res: dict, max_out: int, chan_base=0):
 
 
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
-                          max_out: int, chan_base=0):
+                          max_out: int, chan_base=0,
+                          core_start: int = 0, core_len: int = 0):
     """Packed decode with EARLY candidate compaction.
 
     Sync scan produces (C, K) trigger slots; real traffic is far sparser,
     so candidates compact to a flat top-max_out list (by validity, then
     trigger time) BEFORE the expensive per-candidate stages — demod, header,
     assembly and RS then scale with max_out, not C*K.
+
+    core_start/core_len (nonzero in the sharded path): only triggers inside
+    the core region are owned by this block/shard; packed t0 is shifted to
+    be core-relative.
     """
     from .ops.demod import demod_candidates_flat
 
@@ -183,6 +188,8 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     p0 = phase_of(f[:, 0])
     err, fr = sync_scan(p0)
     t0, of, df, valid = find_triggers(err, fr, max_candidates)
+    if core_len:
+        valid = valid & (t0 >= core_start) & (t0 < core_start + core_len)
 
     c, k = t0.shape
     n = c * k
@@ -217,7 +224,7 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     meta = jnp.stack(
         [
             chan + chan_base,
-            t0s.astype(jnp.int32),
+            (t0s - core_start).astype(jnp.int32),
             length.astype(jnp.int32),
             nbrow.astype(jnp.int32),
             nlbyte.astype(jnp.int32),
@@ -236,7 +243,8 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
 
 _device_decode_packed_jit = jax.jit(
     _device_decode_packed,
-    static_argnames=("max_candidates", "max_symbols", "max_out"),
+    static_argnames=("max_candidates", "max_symbols", "max_out",
+                     "core_start", "core_len"),
 )
 
 
