@@ -180,3 +180,34 @@ def test_stream_wideband_u8_matches_f32_stream():
     for (t_ref, f_ref), (t_u8, f_u8) in zip(ref_frames, u8_frames):
         assert abs(t_ref - t_u8) <= 2
         assert f_ref == f_u8
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cf32"])
+def test_cli_other_formats(tmp_path, fmt):
+    """cs16/cf32 capture formats through the CLI."""
+    from vdlm2dec_tpu.cli import main
+
+    rng = np.random.default_rng(4)
+    fs, freq, fc = 2_000_000, 136_975_000, 136_900_000
+    content = fg.acars_frame(text=f"FMT {fmt}", label="Q0")
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=900, total=2 * 8400)
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc) * (500 if fmt == "cs16" else 0.5)
+    wide += (rng.normal(size=len(wide)) + 1j * rng.normal(size=len(wide))) * (
+        12 if fmt == "cs16" else 0.012
+    )
+    cap = tmp_path / f"cap.{fmt}"
+    if fmt == "cs16":
+        inter = np.empty(2 * len(wide), np.int16)
+        inter[0::2] = np.clip(np.round(wide.real), -32768, 32767)
+        inter[1::2] = np.clip(np.round(wide.imag), -32768, 32767)
+        inter.tofile(str(cap))
+    else:
+        write_capture(str(cap), wide.astype(np.complex64), "cf32")
+    log = tmp_path / "out.log"
+    rc = main(["136.975", "--iq", str(cap), "--format", fmt,
+               "--fc", str(fc), "--max-rows", "2", "-J", "-l", str(log)])
+    assert rc == 0
+    lines = [l for l in log.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["text"] == f"FMT {fmt}"

@@ -495,3 +495,18 @@ def test_json_escaping_identical(tmp_path):
     assert len(ref) == 1
     assert ref[0]["text"] == txt
     assert _strip(ours) == _strip(ref)
+
+
+def test_empty_frame_json_identical(tmp_path):
+    """-E -J: an l<=13 frame emits a header-only JSON object (no payload
+    branch runs, json_obj still flushed — out.c:556-589)."""
+    fc = 136_900_000
+    freq = 136_975_000
+    hdr = fg.avlc_header(fg.AIRCRAFT | 0x3C6544, fg.GROUND_D | 0x10902A,
+                         link_ctrl=0x01)
+    path, wide = _mk_capture(tmp_path, [(freq, 900, hdr)])
+    ref = run_reference(path, fc, [freq / 1e6], flags=("-J", "-E"))
+    ours = run_ours(wide, fc, [freq], flags=("-E",))
+    assert len(ref) == 1
+    assert "text" not in ref[0] and "label" not in ref[0]
+    assert _strip(ours) == _strip(ref)
