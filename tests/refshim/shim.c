@@ -71,6 +71,7 @@ int main(int argc, char **argv)
             case 'E': emptymess = 1; break;
             case 'U': undecmess = 1; break;
             case 'q': verbose = 0; break;
+            case 'v': verbose = 2; break;
             }
             continue;
         }

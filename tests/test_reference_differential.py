@@ -510,3 +510,20 @@ def test_empty_frame_json_identical(tmp_path):
     assert len(ref) == 1
     assert "text" not in ref[0] and "label" not in ref[0]
     assert _strip(ours) == _strip(ref)
+
+
+def test_verbose_hexdump_identical(tmp_path):
+    """-v -U: the undecoded-payload hexdump (dumpdata) text parity."""
+    fc = 136_900_000
+    freq = 136_975_000
+    hdr = fg.avlc_header(fg.AIRCRAFT | 0x3C6544, fg.GROUND_A | 0x2)
+    payload = np.concatenate(
+        [np.arange(20, dtype=np.uint8) + 0x30, np.array([0x00, 0x7F], np.uint8)]
+    )
+    content = np.concatenate([hdr, payload])
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+    ref = _strip_dates(_run_reference_text(path, fc, [freq / 1e6],
+                                           flags=("-v", "-U")))
+    ours = _strip_dates(_run_ours_text(wide, fc, [freq], flags=("-v", "-U")))
+    assert "|0123456789" in ref          # hexdump ascii gutter present
+    assert ours == ref
