@@ -59,3 +59,22 @@ def test_threshold_snr_not_worse():
     rng = np.random.default_rng(2)
     g, t = _trial(rng, 4.0, n=10)
     assert t >= g - 2
+
+
+def test_large_cfo_tolerance():
+    """CFO up to ~800 Hz (8 ppm at VHF): the LS slope estimator + per-burst
+    df correction must still decode; ppm estimate must track."""
+    rng = np.random.default_rng(5)
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_900_000.0,
+                         max_symbols=512, max_candidates=4)
+    pipe = Pipeline(cfg)
+    for cfo in (-800.0, -300.0, 300.0, 800.0):
+        content = rng.integers(0, 256, 30).astype(np.uint8)
+        plan = mod.make_burst([content])
+        sig = mod.synthesize_baseband(plan, start=400, total=2500, cfo_hz=cfo)
+        sig = mod.awgn(sig, 15.0, rng)
+        bursts = [b for b in pipe.decode_channels(sig[None, :].astype(np.complex64))
+                  if b.frames]
+        assert len(bursts) == 1, f"CFO {cfo} Hz failed"
+        ppm_true = cfo / 136.975e6 * 1e6
+        assert bursts[0].ppm == pytest.approx(ppm_true, abs=0.5)
