@@ -59,6 +59,7 @@ int main(int argc, char **argv)
         return 1;
     }
     const char *path = argv[1];
+    char *lblf = NULL;
     Fc = (unsigned int)strtoul(argv[2], NULL, 10);
     nbch = 0;
     for (n = 3; n < argc; n++) {
@@ -72,6 +73,7 @@ int main(int argc, char **argv)
             case 'U': undecmess = 1; break;
             case 'q': verbose = 0; break;
             case 'v': verbose = 2; break;
+            case 'b': lblf = argv[n] + 2; break;
             }
             continue;
         }
@@ -83,7 +85,7 @@ int main(int argc, char **argv)
             nbch++;
         }
     }
-    build_label_filter(NULL);
+    build_label_filter(lblf);
 
     FILE *fh = fopen(path, "rb");
     if (!fh) { perror("open"); return 1; }

@@ -48,6 +48,7 @@ int main(int argc, char **argv)
         return 1;
     }
     const char *path = argv[1];
+    char *lblf = NULL;
     Fc = (unsigned int)strtoul(argv[2], NULL, 10);
     unsigned int F0 = Fc + SDRINRATE / 4;
     nbch = 0;
@@ -62,6 +63,7 @@ int main(int argc, char **argv)
             case 'U': undecmess = 1; break;
             case 'q': verbose = 0; break;
             case 'v': verbose = 2; break;
+            case 'b': lblf = argv[n] + 2; break;
             }
             continue;
         }
@@ -73,7 +75,7 @@ int main(int argc, char **argv)
             nbch++;
         }
     }
-    build_label_filter(NULL);
+    build_label_filter(lblf);
 
     FILE *fh = fopen(path, "rb");
     if (!fh) { perror("open"); return 1; }

@@ -527,3 +527,52 @@ def test_verbose_hexdump_identical(tmp_path):
     ours = _strip_dates(_run_ours_text(wide, fc, [freq], flags=("-v", "-U")))
     assert "|0123456789" in ref          # hexdump ascii gutter present
     assert ours == ref
+
+
+def test_fixreg_prefixes_identical(tmp_path):
+    """Registration hyphenation through both decoders for 1/2/3-char
+    country prefixes and unknown prefixes."""
+    fc = 136_900_000
+    freq = 136_975_000
+    regs = [".N123AB", ".FHBND", ".PHBXA", ".A9CDL", ".9VSKA",
+            "..GABCD", ".ZSABC", ".XXXXX"]
+    bursts = []
+    for i, reg in enumerate(regs):
+        content = fg.acars_frame(
+            text=f"REG{i}", label="Q0", reg=reg,
+            from_addr=fg.AIRCRAFT | (0x300000 + i),
+        )
+        bursts.append((freq, 900 + 4000 * i, content))
+    path, wide = _mk_capture(tmp_path, bursts)
+    ref = run_reference(path, fc, [freq / 1e6])
+    ours = run_ours(wide, fc, [freq])
+    assert len(ref) == len(regs)
+    assert _strip(ours) == _strip(ref)
+    tails = [o["tail"] for o in ref]
+    assert "F-HBND" in tails and "PH-BXA" in tails and "A9C-DL" in tails
+
+
+def test_label_filter_identical(tmp_path):
+    """-b label whitelist: both decoders drop non-matching labels."""
+    fc = 136_900_000
+    freq = 136_975_000
+    bursts = [
+        (freq, 900, fg.acars_frame(text="KEEP", label="H1")),
+        (freq, 6000, fg.acars_frame(text="DROP", label="Q0")),
+    ]
+    path, wide = _mk_capture(tmp_path, bursts)
+    ref = run_reference(path, fc, [freq / 1e6], flags=("-J", "-bH1:5Z"))
+    cfg = PipelineConfig(freqs_hz=[float(freq)], fs=2_000_000, fc_hz=float(fc),
+                         max_symbols=1024, max_candidates=8)
+    pipe = Pipeline(cfg)
+    buf = io.StringIO()
+    dec = FrameDecoder(OutputConfig(verbose=0, jsonout=True, logfile=buf),
+                       label_filter="H1:5Z")
+    for bursts_out in pipe.stream_channels(
+        np.asarray(pipe.channelizer(wide.astype(np.complex64)))
+    ):
+        for b in bursts_out:
+            dec.process_burst(b)
+    ours = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
+    assert [o.get("text") for o in ref] == ["KEEP"]
+    assert _strip(ours) == _strip(ref)
