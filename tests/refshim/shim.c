@@ -74,6 +74,7 @@ int main(int argc, char **argv)
             case 'q': verbose = 0; break;
             case 'v': verbose = 2; break;
             case 'b': lblf = argv[n] + 2; break;
+            case 's': netOutSbsAddr = argv[n] + 2; break;
             }
             continue;
         }

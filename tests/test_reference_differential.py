@@ -576,3 +576,76 @@ def test_label_filter_identical(tmp_path):
     ours = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
     assert [o.get("text") for o in ref] == ["KEEP"]
     assert _strip(ours) == _strip(ref)
+
+
+def test_sbs_feed_identical(tmp_path):
+    """TCP SBS sink: both decoders' BaseStation lines (timestamps masked)."""
+    import re
+    import socket
+    import threading
+
+    fc = 136_900_000
+    freq = 136_975_000
+    content = fg.acars_frame(
+        text="LFPGKJFKA1B2C3D4E5F6G7H8KJFK", label="Q1", reg=".FHBND"
+    )
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)])
+
+    def collect_sbs(run_fn):
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        data = []
+
+        def accept():
+            srv.settimeout(20)
+            try:
+                conn, _ = srv.accept()
+                conn.settimeout(5)
+                try:
+                    while True:
+                        chunk = conn.recv(65536)
+                        if not chunk:
+                            break
+                        data.append(chunk)
+                except OSError:
+                    pass
+                conn.close()
+            except OSError:
+                pass
+
+        th = threading.Thread(target=accept)
+        th.start()
+        run_fn(port)
+        th.join(timeout=25)
+        srv.close()
+        return b"".join(data).decode()
+
+    def run_ref(port):
+        subprocess.run(
+            [SHIM, path, str(fc), f"{freq/1e6:.6f}", "-q",
+             f"-s127.0.0.1:{port}"],
+            capture_output=True, text=True, timeout=120,
+        )
+
+    def run_us(port):
+        cfg = PipelineConfig(freqs_hz=[float(freq)], fs=2_000_000,
+                             fc_hz=float(fc), max_symbols=1024,
+                             max_candidates=8)
+        pipe = Pipeline(cfg)
+        dec = FrameDecoder(OutputConfig(
+            verbose=0, net_sbs_addr=f"127.0.0.1:{port}"))
+        for bursts in pipe.stream_channels(
+            np.asarray(pipe.channelizer(wide.astype(np.complex64)))
+        ):
+            for b in bursts:
+                dec.process_burst(b)
+
+    def mask(text):
+        return re.sub(r"\d{4}/\d\d/\d\d,\d\d:\d\d:\d\d\.\d{3}", "<T>", text)
+
+    ref_sbs = mask(collect_sbs(run_ref))
+    our_sbs = mask(collect_sbs(run_us))
+    assert ref_sbs.startswith("MSG,")
+    assert our_sbs == ref_sbs
