@@ -195,3 +195,16 @@ def test_transmitted_cells_count():
     # 2 rows, last has 10 bytes: data 249+10, fec 6+2
     cells = codec.transmitted_cells(2, 10)
     assert len(cells) == 249 + 10 + 6 + 2
+
+
+def test_make_burst_avoids_unprotected_last_row():
+    """Transmit-side rule: nlbyte must be >= 3 (nlbyte<=2 last rows get no
+    FEC but ARE erasure-scribbled by the receiver — undecodable by design).
+    """
+    from vdlm2dec_tpu import modulator as mod
+
+    rng = np.random.default_rng(33)
+    for n in [1, 50, 238, 239, 240, 241, 242, 245, 487, 489, 491, 700, 736]:
+        content = rng.integers(0, 256, n).astype(np.uint8)
+        plan = mod.make_burst([content])
+        assert plan.nlbyte >= 3, f"payload {n}: nlbyte {plan.nlbyte}"

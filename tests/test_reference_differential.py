@@ -54,10 +54,10 @@ def run_reference(path, fc, freqs_mhz, flags=("-J",)):
     return out
 
 
-def run_ours(wide, fc, freqs_hz, flags=None):
+def run_ours(wide, fc, freqs_hz, flags=None, max_symbols=1024):
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs_hz], fs=2_000_000, fc_hz=float(fc),
-        max_symbols=1024, max_candidates=8,
+        max_symbols=max_symbols, max_candidates=8,
     )
     pipe = Pipeline(cfg)
     buf = io.StringIO()
@@ -649,3 +649,29 @@ def test_sbs_feed_identical(tmp_path):
     our_sbs = mask(collect_sbs(run_us))
     assert ref_sbs.startswith("MSG,")
     assert our_sbs == ref_sbs
+
+
+def test_burst_size_sweep_identical(tmp_path):
+    """Frame sizes from tiny to ~4 RS rows: geometry/interleave/FEC parity."""
+    fc = 136_900_000
+    freq = 136_975_000
+    rng = np.random.default_rng(21)
+    sizes = [1, 40, 180, 400, 700]        # payload chars -> 1..4 RS rows
+    bursts = []
+    start = 900
+    for i, nsz in enumerate(sizes):
+        txt = "".join(chr(int(c)) for c in rng.integers(0x20, 0x7F, nsz))
+        content = fg.acars_frame(
+            text=txt, label="Q0", from_addr=fg.AIRCRAFT | (0x400000 + i)
+        )
+        bursts.append((freq, start, content))
+        start += 8 * (len(mod.make_burst([content]).symbol_phases) + 400)
+    # round to a whole ms so the wideband length is a channelizer-period
+    # multiple
+    path, wide = _mk_capture(
+        tmp_path, bursts, seconds=round(start / 84_000 + 0.25, 2)
+    )
+    ref = run_reference(path, fc, [freq / 1e6])
+    ours = run_ours(wide, fc, [freq], max_symbols=2560)
+    assert len(ref) == len(sizes)
+    assert _strip(ours) == _strip(ref)

@@ -69,13 +69,20 @@ def make_burst(frames: list[np.ndarray], length_bits: int | None = None) -> Burs
 
     frames: list of AVLC frame *contents* (bytes between flags, without FCS).
     """
-    # choose payload size: smallest that holds the HDLC bitstream
+    # choose payload size: smallest that holds the HDLC bitstream.
+    # A transmitter must avoid nlbyte in {0, 1, 2}:
+    #   nlbyte==0 (len%1992==0): the receiver allocates an extra row whose
+    #     data is never unstuffed (d8psk.c:94-95 quirk);
+    #   nlbyte<=2: the FEC phase drops the last row entirely
+    #     (d8psk.c:153-155) while set_eras still erases its parity region
+    #     (vdlm2.c:64-82), so a 1-2 byte last row is scribbled over by RS
+    #     and cannot survive.  Pad with flag bytes to nlbyte >= 3.
     probe = build_burst_bitstream(frames)
     nbytes = (len(probe) + 7) // 8
-    if nbytes % RS_K == 0:
-        # avoid the len%1992==0 receiver quirk (d8psk.c:94-95 yields an extra
-        # row whose data is never unstuffed); one flag byte of padding fixes it
-        nbytes += 1
+    nbytes = max(nbytes, 12)        # receiver rejects len < 96 bits
+    r = nbytes % RS_K
+    if r < 3:
+        nbytes += 3 - r
     if length_bits is None:
         length_bits = nbytes * 8
     geom = burst_geometry(length_bits)
