@@ -211,3 +211,25 @@ def test_cli_other_formats(tmp_path, fmt):
     lines = [l for l in log.read_text().splitlines() if l.strip()]
     assert len(lines) == 1
     assert json.loads(lines[0])["text"] == f"FMT {fmt}"
+
+
+def test_cli_mesh_flag(tmp_path):
+    """--mesh CxT routes decode through the sharded path."""
+    from vdlm2dec_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    fs, freq, fc = 2_000_000, 136_975_000, 136_900_000
+    content = fg.acars_frame(text="MESH RUN", label="Q0")
+    plan = mod.make_burst([content])
+    bb = mod.synthesize_baseband(plan, start=2000, total=4 * 8400)
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc) * 40.0
+    wide += rng.normal(size=len(wide)) + 1j * rng.normal(size=len(wide))
+    cap = tmp_path / "mesh.cu8"
+    write_capture(str(cap), wide, "cu8")
+    log = tmp_path / "mesh.log"
+    rc = main(["136.975", "--iq", str(cap), "--fc", str(fc),
+               "--max-rows", "2", "--mesh", "1x4", "-J", "-l", str(log)])
+    assert rc == 0
+    lines = [l for l in log.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["text"] == "MESH RUN"

@@ -247,7 +247,7 @@ def test_fuzz_random_frames_identical(tmp_path):
     fc = 136_900_000
     freq = 136_975_000
     all_ref, all_ours = [], []
-    for trial in range(6):
+    for trial in range(10):
         kind = trial % 3
         from_addr = int(rng.integers(0, 1 << 27))
         to_addr = int(rng.integers(0, 1 << 27))
