@@ -675,3 +675,37 @@ def test_burst_size_sweep_identical(tmp_path):
     ours = run_ours(wide, fc, [freq], max_symbols=2560)
     assert len(ref) == len(sizes)
     assert _strip(ours) == _strip(ref)
+
+
+def test_off_raster_fc_identical(tmp_path):
+    """Arbitrary (non-25kHz-raster) center frequency, as chooseFc produces:
+    the wrapped LO table (fs/25kHz entries) then phase-glitches every wrap —
+    both decoders share the quirk and must still decode identically."""
+    fc = 136_901_234                # Fo = 73,766 Hz: non-raster
+    freq = 136_975_000
+    content = fg.acars_frame(text="OFF RASTER", label="Q0", reg=".FHBND")
+    path, wide = _mk_capture(tmp_path, [(freq, 900, content)], fc=fc)
+    ref = run_reference(path, fc, [freq / 1e6])
+    ours = run_ours(wide, fc, [freq])
+    assert len(ref) == 1, "reference failed under LO wrap glitch"
+    assert _strip(ours) == _strip(ref)
+
+
+def test_choose_fc_end_to_end_identical(tmp_path):
+    """Let BOTH decoders derive Fc via the chooseFc scan (ours is a port of
+    rtl.c:123-160): same Fc, same decode."""
+    from vdlm2dec_tpu.io.sdr import choose_fc
+
+    freqs = [136_725_000, 136_975_000]
+    fc = choose_fc(freqs)           # our port's answer
+    bursts = []
+    for i, f in enumerate(freqs):
+        content = fg.acars_frame(
+            text=f"CFC {i}", label="Q0", from_addr=fg.AIRCRAFT | (0x500000 + i)
+        )
+        bursts.append((f, 900 + 25_000 * i, content))
+    path, wide = _mk_capture(tmp_path, bursts, fc=fc)
+    ref = run_reference(path, fc, [f / 1e6 for f in freqs])
+    ours = run_ours(wide, fc, freqs)
+    assert len(ref) == 2
+    assert sorted(_strip(ours), key=str) == sorted(_strip(ref), key=str)
