@@ -60,12 +60,10 @@ def test_sharded_time_only_mesh():
     sig = _sig_with_bursts(rng, [9000], t_total, [content])
     mesh = make_mesh(1, 8)
     dec = ShardedDecoder(mesh, max_candidates=2, max_symbols=512)
-    out = dec.decode(sig[None, :].astype(np.complex64))
-    ok = out["valid"] & out["ok"]
-    assert ok.sum() >= 1
+    cands = dec.decode(sig[None, :].astype(np.complex64))
+    assert len(cands) >= 1
     # the owning shard is shard 2 (9000+sync in [8400, 12600))
-    t0s = out["t0"][ok]
-    assert any(8400 <= t < 12600 for t in t0s)
+    assert any(8400 <= c["t0"] < 12600 for c in cands)
 
 
 def test_sharded_wideband_packed_decodes_burst():

@@ -273,66 +273,63 @@ class ShardedDecoder:
 
     decode(y): y is a global (C, T) array (or host numpy) of decimated
     84 kHz channel streams; C divisible by mesh chan size, T by time size.
-    Returns host-side dict with global candidate metadata; t0 entries are
-    global decimated-sample indices.
+    Each shard runs the early-compaction packed decode (one uint8 row per
+    surviving candidate, pipeline.pack layout) and the host does a single
+    fetch; returns a candidate-dict list with global chan/t0.
     """
     mesh: Mesh
     max_candidates: int = 8
     max_symbols: int = 1024
+    max_out: int = 64
 
     def __post_init__(self):
         mc, ms = self.max_candidates, self.max_symbols
         right = burst_window(ms)
 
         def step(y):
-            n_time = jax.lax.axis_size("time")
-            t_local = y.shape[1]
-            y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
-            res = _local_decode(y_ext, HALO_LEFT, t_local, mc, ms)
-            # globalise trigger indices
-            shard = jax.lax.axis_index("time")
-            res["t0"] = res["t0"] + shard * t_local
-            # candidate axis concatenates along time: (C_local, n_time*K)
-            return res
+            from ..pipeline import _device_decode_packed
 
-        in_specs = (P("chan", "time", None),)
-        out_specs = dict(
-            t0=P("chan", "time"), of=P("chan", "time"), df=P("chan", "time"),
-            valid=P("chan", "time"), length=P("chan", "time"),
-            nbrow=P("chan", "time"), nlbyte=P("chan", "time"),
-            ok=P("chan", "time"),
-            blocks=P("chan", "time", None, None),
-            rs_counts=P("chan", "time", None),
-            consumed=P("chan", "time"),
-        )
+            t_local = y.shape[1]
+            c_local = y.shape[0]
+            y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
+            shard = jax.lax.axis_index("time")
+            chan_base = jax.lax.axis_index("chan") * c_local
+            buf = _device_decode_packed(
+                y_ext, mc, ms, self.max_out,
+                chan_base=chan_base,
+                core_start=HALO_LEFT, core_len=t_local,
+            )
+            shard_off = (shard * t_local).astype(jnp.int32)
+            meta_t0 = jax.lax.bitcast_convert_type(
+                buf[:, 2052:2056], jnp.int32
+            ) + shard_off
+            t0_u8 = jax.lax.bitcast_convert_type(
+                meta_t0[:, None], jnp.uint8
+            ).reshape(-1, 4)
+            return jnp.concatenate(
+                [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
+            )
+
         self._step = jax.jit(
             jax.shard_map(
-                step, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs
+                step, mesh=self.mesh,
+                in_specs=(P("chan", "time", None),),
+                out_specs=P(("chan", "time"), None),
             )
         )
 
-    def decode(self, y) -> dict:
+    def decode(self, y) -> list:
+        from ..pipeline import unpack_results
+
         with self.mesh:
             y = jax.device_put(
                 jnp.asarray(
-                    pack_complex(y) if (isinstance(y, np.ndarray) and np.iscomplexobj(y)) else y,
+                    pack_complex(y)
+                    if (isinstance(y, np.ndarray) and np.iscomplexobj(y))
+                    else y,
                     dtype=jnp.float32,
                 ),
                 NamedSharding(self.mesh, P("chan", "time", None)),
             )
             res = self._step(y)
-        out = jax.tree.map(np.asarray, res)
-        # sort candidates per channel by trigger time so the host greedy
-        # overlap filter sees them in stream order
-        order = np.argsort(np.where(out["valid"], out["t0"], np.iinfo(np.int32).max),
-                           axis=1, kind="stable")
-        for key in ("t0", "of", "df", "valid", "length", "nbrow", "nlbyte",
-                    "ok", "consumed"):
-            out[key] = np.take_along_axis(out[key], order, axis=1)
-        out["blocks"] = np.take_along_axis(
-            out["blocks"], order[:, :, None, None], axis=1
-        )
-        out["rs_counts"] = np.take_along_axis(
-            out["rs_counts"], order[:, :, None], axis=1
-        )
-        return out
+        return unpack_results(np.asarray(res))

@@ -370,7 +370,7 @@ class Pipeline:
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
             y = pack_complex(y)
         if self._sharded is not None:
-            cands = _dict_to_candidates(self._sharded.decode(y))
+            cands = self._sharded.decode(y)       # packed candidate list
         else:
             cands = self._decode_block(jnp.asarray(y, dtype=jnp.float32))
         return self._finish(cands, t_offset=0)
