@@ -29,17 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.demod import (
-    demod_candidates,
-    find_triggers,
-    pack_complex,
-    phase_of,
-    polyphase_filter,
-    sync_scan,
-)
-from ..ops.header import header_decode
-from ..ops.assembly import MAX_TX_BYTES, assemble_blocks
-from ..ops.rs_fec import rs_decode_rows
+from ..ops.demod import pack_complex
 
 HALO_LEFT = 160          # filter ring + sync window + hysteresis margin
 
@@ -79,42 +69,6 @@ def _halo_exchange(y: jnp.ndarray, left: int, right: int, axis: str) -> jnp.ndar
         )
         parts.append(rh)
     return jnp.concatenate(parts, axis=1)
-
-
-def _local_decode(y_ext: jnp.ndarray, core_start: int, core_len: int,
-                  max_candidates: int, max_symbols: int):
-    """Decode one shard's extended block; own only triggers in the core."""
-    f = polyphase_filter(y_ext)
-    p0 = phase_of(f[:, 0])
-    err, fr = sync_scan(p0)
-    t0, of, df, valid = find_triggers(err, fr, max_candidates, first_valid=2)
-    # ownership: trigger inside [core_start, core_start + core_len)
-    own = (t0 >= core_start) & (t0 < core_start + core_len)
-    valid = valid & own
-    soft = demod_candidates(y_ext, t0, of, df, max_symbols, f_all=f)
-    c, k, nb = soft.shape
-    flat = soft.reshape(c * k, nb)
-    length, nbrow, nlbyte, ok = header_decode(flat[:, :25])
-    need = 8 * MAX_TX_BYTES
-    data_soft = flat[:, 25: 25 + need]
-    if data_soft.shape[1] < need:
-        data_soft = jnp.pad(data_soft, ((0, 0), (0, need - data_soft.shape[1])))
-    blocks, consumed = assemble_blocks(data_soft, nbrow, nlbyte)
-    rows = blocks.reshape(c * k * 8, 255)
-    ridx = jnp.tile(jnp.arange(8), c * k).reshape(c * k, 8)
-    is_last = ridx == (nbrow[:, None] - 1)
-    cls_last = jnp.where(nlbyte[:, None] <= 30, 2,
-                         jnp.where(nlbyte[:, None] <= 67, 1, 0))
-    eras_class = jnp.where(is_last, cls_last, 0).reshape(-1)
-    fixed, counts = rs_decode_rows(rows, eras_class)
-    return dict(
-        t0=t0 - core_start, of=of, df=df, valid=valid,
-        length=length.reshape(c, k), nbrow=nbrow.reshape(c, k),
-        nlbyte=nlbyte.reshape(c, k), ok=ok.reshape(c, k),
-        blocks=fixed.reshape(c, k, 8, 255),
-        rs_counts=counts.reshape(c, k, 8),
-        consumed=consumed.reshape(c, k),
-    )
 
 
 @dataclass

@@ -706,6 +706,95 @@ class PipelinedDecoder:
             yield r
 
 
+class PipelinedDecoder:
+    """Overlapped dispatch/fetch for the u8 fast path.
+
+    The tunneled TPU backend executes lazily (work runs when a result is
+    fetched), so a fetch thread one block behind the dispatcher overlaps
+    host<->device transfers with device compute (~1.8x on this link).
+
+    Usage:
+        pd = PipelinedDecoder(pipe)
+        for raw_u8_block in blocks:
+            for cands in pd.submit(raw_u8_block):
+                ...
+        for cands in pd.drain():
+            ...
+    """
+
+    def __init__(self, pipe: "Pipeline", depth: int = 2):
+        import queue
+        import threading
+
+        self.pipe = pipe
+        self.depth = depth
+        self._q = queue.Queue(maxsize=depth)
+        self._out = queue.Queue()
+        self._worker = threading.Thread(target=self._fetch_loop, daemon=True)
+        self._worker.start()
+
+    def _fetch_loop(self):
+        while True:
+            buf = self._q.get()
+            if buf is None:
+                self._out.put(None)
+                return
+            try:
+                self._out.put(unpack_results(np.asarray(buf)))
+            except Exception as e:          # surface errors to the consumer
+                self._out.put(e)
+
+    def _dispatch(self, raw: np.ndarray):
+        from .io.sdr import RTL_DC_OFFSET
+        from .ops.channelizer import period_phases
+
+        ch = self.pipe.channelizer
+        t = len(raw) // 2
+        align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
+        t -= t % align
+        b = t // ch.p_in
+        ph = period_phases(
+            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
+        )
+        ch._period_cursor += b
+        return _wideband_u8_decode_jit(
+            jnp.asarray(raw[: 2 * t]),
+            ch._lo_r, ch._lo_i,
+            jnp.asarray(np.ascontiguousarray(ph.real)),
+            jnp.asarray(np.ascontiguousarray(ph.imag)),
+            ch._a,
+            jnp.float32(RTL_DC_OFFSET),
+            self.pipe.cfg.max_candidates,
+            self.pipe.cfg.max_symbols,
+            self.pipe._max_out(),
+            self.pipe.cfg.use_pallas,
+        )
+
+    def submit(self, raw: np.ndarray):
+        """Dispatch a block; yields any already-completed blocks' candidates
+        (non-blocking unless the pipeline is full)."""
+        self._q.put(self._dispatch(raw))
+        while True:
+            try:
+                r = self._out.get_nowait()
+            except Exception:
+                break
+            if isinstance(r, Exception):
+                raise r
+            yield r
+
+    def drain(self):
+        """Finish: yields remaining results; the decoder is then closed."""
+        self._q.put(None)
+        while True:
+            r = self._out.get()
+            if r is None:
+                return
+            if isinstance(r, Exception):
+                raise r
+            yield r
+
+
 def _dict_to_candidates(res: dict) -> list[dict]:
     """Adapter: (C, K)-grid result dict (sharded path) -> candidate list."""
     cands = []
