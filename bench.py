@@ -91,7 +91,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig, _device_decode_jit
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
 
     if args.quick:
         args.seconds, args.iters, args.max_symbols = 0.25, 2, 256

@@ -11,7 +11,7 @@ from vdlm2dec_tpu.golden.dsp import GoldenChannel, mix_and_decimate
 from vdlm2dec_tpu.ops import assembly, header, rs_fec
 from vdlm2dec_tpu.ops.channelizer import Channelizer
 from vdlm2dec_tpu.ops.demod import (
-    demod_candidates,
+    demod_candidates_flat,
     find_triggers,
     pack_complex,
     phase_of,
@@ -145,8 +145,11 @@ def test_demod_block_matches_golden():
     f = polyphase_filter(y)
     err, fr = sync_scan(phase_of(f[:, 0]))
     t0, of, df, valid = find_triggers(err, fr, 4)
-    soft = demod_candidates(y, t0, of, df, max_symbols)
-    flat = np.asarray(soft)[0, 0]
+    chan = jnp.zeros((4,), jnp.int32)
+    soft = demod_candidates_flat(
+        y, chan, t0[0], of[0], df[0], max_symbols, polyphase_filter(y)
+    )
+    flat = np.asarray(soft)[0]
 
     length, nbrow, nlbyte, ok = header.header_decode(jnp.asarray(flat[None, :25]))
     assert bool(ok[0])

@@ -171,61 +171,6 @@ def find_triggers(
 
 
 @functools.partial(jax.jit, static_argnames=("max_symbols",))
-def demod_candidates(
-    y: jnp.ndarray,
-    t0: jnp.ndarray,
-    of: jnp.ndarray,
-    df: jnp.ndarray,
-    max_symbols: int,
-    f_all: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Demodulate (C, K) candidates from (C, T) decimated streams.
-
-    Returns descrambled soft bits (C, K, 3*max_symbols) in [0,1]
-    (P(bit = 1)), replicating putgreycode+descrambler semantics.
-
-    The symbol-rate matched-filter values come from the full-stream
-    polyphase filter bank (computed once, gathered per symbol) — identical
-    values to filtering per-candidate windows, at a fraction of the memory.
-    f_all: optional precomputed polyphase_filter(y) to share with sync scan.
-    y is (C, T, 2) re/im planes; f_all (C, 4, T, 2).
-    """
-    c, t, _ = y.shape
-    overrun = 7 + 8 * max_symbols         # samples past t0 a burst may reach
-    if f_all is None:
-        f_all = polyphase_filter(y)       # (C, 4, T, 2)
-    fpad = jnp.pad(f_all, ((0, 0), (0, 0), (0, overrun), (0, 0)))
-    ypad = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))  # ring history for P1
-
-    def one(fc, yc, t0c, ofc, dfc):
-        clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)  # roundf
-        # P1: filteredphase with tap offset clk0 over the ring ending at t0
-        win = jax.lax.dynamic_slice(yc, (t0c, 0), (17, 2))  # y[t0-16 .. t0]
-        taps1 = jnp.asarray(_EXT_TAPS)[clk0]
-        s1v = jnp.sum(win * taps1[:, None], axis=0)         # (2,)
-        p1 = jnp.arctan2(s1v[1], s1v[0])
-        # symbol sampling: first emission s1 samples after trigger, phase phi
-        phi = clk0 % 4
-        s1 = (32 - clk0 + 3) // 4
-        pos = t0c + s1 + 8 * jnp.arange(max_symbols)      # (S,)
-        f = fc[phi, pos]                                  # (S, 2)
-        p = jnp.arctan2(f[:, 1], f[:, 0])
-        pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
-        d = (p - pprev) - dfc
-        d = jnp.where(d > PI, d - TWO_PI, d)
-        d = jnp.where(d < -PI, d + TWO_PI, d)
-        gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
-        g = jnp.asarray(_GRAY32)                          # (3, 257)
-        soft = g[:, gi].T.reshape(-1)                     # (S*3,) order b0,b1,b2
-        ks = jnp.asarray(_KS[: soft.shape[0]])
-        return jnp.where(ks, 1.0 - soft, soft)
-
-    return jax.vmap(jax.vmap(one, in_axes=(None, None, 0, 0, 0)))(
-        fpad, ypad, t0, of, df
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("max_symbols",))
 def demod_candidates_flat(
     y: jnp.ndarray,
     chan: jnp.ndarray,

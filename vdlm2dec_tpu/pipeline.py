@@ -27,7 +27,6 @@ from .golden.codec import Unstuffer, frame_crc_ok
 from .ops.assembly import MAX_TX_BYTES, assemble_blocks
 from .ops.channelizer import Channelizer
 from .ops.demod import (
-    demod_candidates,
     find_triggers,
     pack_complex,
     phase_of,
@@ -76,46 +75,6 @@ class PipelineConfig:
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
 
-
-def _device_decode(y, max_candidates: int, max_symbols: int):
-    """All device stages on a (C, T, 2) decimated block (re/im planes)."""
-    f = polyphase_filter(y)
-    p0 = phase_of(f[:, 0])
-    err, fr = sync_scan(p0)
-    t0, of, df, valid = find_triggers(err, fr, max_candidates)
-    soft = demod_candidates(y, t0, of, df, max_symbols, f_all=f)
-    c, k, nb = soft.shape
-    flat = soft.reshape(c * k, nb)
-    length, nbrow, nlbyte, ok = header_decode(flat[:, :25])
-    need = 8 * MAX_TX_BYTES
-    data_soft = flat[:, 25 : 25 + need]
-    if data_soft.shape[1] < need:
-        data_soft = jnp.pad(data_soft, ((0, 0), (0, need - data_soft.shape[1])))
-    blocks, consumed = assemble_blocks(data_soft, nbrow, nlbyte)
-
-    # per-row erasure class: last row -> by nlbyte thresholds (vdlm2.c:64-82)
-    rows = blocks.reshape(c * k * 8, 255)
-    ridx = jnp.tile(jnp.arange(8), c * k).reshape(c * k, 8)
-    is_last = ridx == (nbrow[:, None] - 1)
-    cls_last = jnp.where(
-        nlbyte[:, None] <= 30, 2, jnp.where(nlbyte[:, None] <= 67, 1, 0)
-    )
-    eras_class = jnp.where(is_last, cls_last, 0).reshape(-1)
-    fixed, counts = rs_decode_rows(rows, eras_class)
-
-    return dict(
-        t0=t0, of=of, df=df, valid=valid,
-        length=length.reshape(c, k), nbrow=nbrow.reshape(c, k),
-        nlbyte=nlbyte.reshape(c, k), ok=ok.reshape(c, k),
-        blocks=fixed.reshape(c, k, 8, 255),
-        rs_counts=counts.reshape(c, k, 8),
-        consumed=consumed.reshape(c, k),
-    )
-
-
-_device_decode_jit = jax.jit(
-    _device_decode, static_argnames=("max_candidates", "max_symbols")
-)
 
 # Packed-result layout (one uint8 row per surviving candidate):
 #   [0:2040)    burst block (8 rows x 255 bytes)
