@@ -34,7 +34,7 @@ import numpy as np
 from .constants import MAX_BURST_SYMBOLS
 from .host.decoder import FrameDecoder
 from .host.output import OutputConfig
-from .io.sdr import choose_fc, choose_fc_airspy, read_capture, validate_freqs
+from .io.sdr import choose_fc, choose_fc_airspy, validate_freqs
 from .pipeline import Pipeline, PipelineConfig
 
 
@@ -165,14 +165,18 @@ def main(argv=None) -> int:
     from .metrics import PipelineMetrics
 
     metrics = PipelineMetrics()
+    pipe.metrics = metrics
     cursor = 0
+    prev_end: dict[int, int] = {}
     if args.checkpoint:
         import os
 
         from .host.checkpoint import load_checkpoint, save_checkpoint
 
         if os.path.exists(args.checkpoint):
-            cursor, _ = load_checkpoint(args.checkpoint, dec.flights)
+            cursor, extra = load_checkpoint(args.checkpoint, dec.flights)
+            prev_end = {int(k): int(v)
+                        for k, v in extra.get("prev_end", {}).items()}
 
     if args.iq == "-":
         # live pipe: rtl_sdr/airspy_rx | vdlm2t ... --iq -
@@ -197,34 +201,44 @@ def main(argv=None) -> int:
             logfd.close()
         return 0
 
+    from .io.sdr import CaptureReader
+
     try:
-        x = read_capture(args.iq, args.format, offset=cursor)
-    except OSError as e:
-        print(f"unable to open {args.iq}: {e.strerror or e}", file=sys.stderr)
+        reader = CaptureReader(args.iq, args.format)
+    except (OSError, ValueError) as e:
+        print(f"unable to open {args.iq}: {e}", file=sys.stderr)
         return 1
-    metrics.samples_in = len(x)
+    total_samples = len(reader)
+    metrics.samples_in = total_samples
     n_frames = 0
-    if (args.format == "cu8" and cfg.lo_wrap and mesh is None
-            and cursor == 0 and not args.checkpoint):
+    # exact resume: blocks are addressed by absolute position, so decoding
+    # from start_block yields byte-identical output to the uninterrupted
+    # run's remaining blocks (the checkpoint cursor is block-aligned and
+    # prev_end restores cross-block burst-span suppression)
+    core_raw = pipe.core_raw_samples(args.block_seconds)
+    start_block = min(cursor, total_samples) // core_raw
+    if args.format == "cu8" and cfg.lo_wrap and mesh is None:
         # fast path: raw u8 blocks through the fused pipelined device program
-        raw = np.fromfile(args.iq, dtype=np.uint8)
-        stream = pipe.stream_wideband_u8(raw, block_seconds=args.block_seconds)
+        raw = np.memmap(args.iq, dtype=np.uint8, mode="r")
+        stream = pipe.stream_wideband_u8(
+            raw, block_seconds=args.block_seconds,
+            start_block=start_block, prev_end=prev_end,
+        )
     else:
-        stream = pipe.stream_wideband(x, block_seconds=args.block_seconds)
+        stream = pipe.stream_wideband(
+            reader, block_seconds=args.block_seconds,
+            start_block=start_block, prev_end=prev_end,
+        )
     try:
-        for bursts in stream:
+        for k, bursts in enumerate(stream):
             metrics.observe_bursts(bursts)
             for b in bursts:
                 dec.process_burst(b)
                 n_frames += len(b.frames)
             if args.checkpoint:
-                # stream cursor advances block by block (approximate: frames
-                # in the current block may re-emit on resume; downstream
-                # consumers dedup on timestamp+content as with any
-                # at-least-once feed)
-                cursor += int(args.block_seconds * args.fs)
-                save_checkpoint(args.checkpoint, min(cursor, len(x)),
-                                dec.flights)
+                cursor = min((start_block + k + 1) * core_raw, total_samples)
+                save_checkpoint(args.checkpoint, cursor, dec.flights,
+                                extra={"prev_end": prev_end})
     except KeyboardInterrupt:
         pass
     metrics.frames_emitted = dec.stats.acars + dec.stats.xid

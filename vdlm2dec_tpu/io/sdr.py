@@ -83,6 +83,58 @@ def read_capture(path: str, fmt: str, count: int = -1, offset: int = 0) -> np.nd
     raise ValueError(f"unknown capture format {fmt!r}")
 
 
+class CaptureReader:
+    """Constant-memory random access to a capture file.
+
+    np.memmap slicing + on-the-fly conversion to complex64 (float32 for
+    f32real): the streaming pipeline reads one block (+halo margins) at a
+    time, so decoding a multi-GB capture never materializes it in RAM.
+    Out-of-range reads zero-fill, matching the zero-history behaviour of
+    the scalar chain at stream edges.
+    """
+
+    _ITEM = {
+        "cu8": (np.uint8, 2),
+        "cs16": (np.int16, 2),
+        "cf32": (np.float32, 2),
+        "f32real": (np.float32, 1),
+    }
+
+    def __init__(self, path: str, fmt: str):
+        if fmt not in self._ITEM:
+            raise ValueError(f"unknown capture format {fmt!r}")
+        dt, per = self._ITEM[fmt]
+        self.fmt = fmt
+        self._per = per
+        raw = np.memmap(path, dtype=dt, mode="r")
+        self._raw = raw[: len(raw) // per * per]
+        self.n_samples = len(self._raw) // per
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def read(self, start: int, n: int) -> np.ndarray:
+        """Samples [start, start+n); regions outside the capture are zero."""
+        s_lo, s_hi = max(start, 0), min(start + n, self.n_samples)
+        seg = np.asarray(self._raw[s_lo * self._per : s_hi * self._per])
+        if self.fmt == "cu8":
+            f = seg.astype(np.float32) - RTL_DC_OFFSET
+            x = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+        elif self.fmt == "cs16":
+            f = seg.astype(np.float32)
+            x = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+        elif self.fmt == "cf32":
+            x = (seg[0::2] + 1j * seg[1::2]).astype(np.complex64)
+        else:
+            x = seg.astype(np.float32)
+        if s_lo == start and s_hi == start + n:
+            return x
+        out = np.zeros(n, dtype=x.dtype)
+        if s_hi > s_lo:
+            out[s_lo - start : s_lo - start + len(x)] = x
+        return out
+
+
 def write_capture(path: str, x: np.ndarray, fmt: str) -> None:
     """Inverse of read_capture, for generating test/bench fixtures."""
     if fmt == "cu8":

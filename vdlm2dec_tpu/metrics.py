@@ -24,8 +24,9 @@ class PipelineMetrics:
     rs_failures: int = 0             # uncorrectable rows
     frames_crc_ok: int = 0
     frames_emitted: int = 0          # after L5 filters
+    candidates_overflow: int = 0     # triggers dropped: max_out slots full
     wall_start: float = field(default_factory=time.time)
-    device_time_s: float = 0.0
+    device_time_s: float = 0.0       # dispatch-to-fetch time of device blocks
 
     def observe_bursts(self, bursts) -> None:
         for b in bursts:
@@ -53,7 +54,9 @@ class PipelineMetrics:
             "rs_failures": self.rs_failures,
             "frames_crc_ok": self.frames_crc_ok,
             "frames_emitted": self.frames_emitted,
+            "candidates_overflow": self.candidates_overflow,
             "wall_s": round(wall, 3),
+            "device_time_s": round(self.device_time_s, 3),
             "samples_per_s": round(self.samples_in / wall, 1),
             "crc_pass_per_burst": round(
                 self.frames_crc_ok / max(self.bursts_attempted, 1), 4

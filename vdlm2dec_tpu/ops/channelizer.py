@@ -238,11 +238,18 @@ class Channelizer:
     def out_rate(self) -> float:
         return self.fs * 21.0 / self.sdrclk
 
-    def __call__(self, x: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: np.ndarray | jnp.ndarray, period0: int | None = None
+    ) -> jnp.ndarray:
         """x: (T,) wideband block, T a multiple of P_in.  Returns
         (C, T*21/sdrclk, 2) float32 decimated channels (re/im planes —
         the device pipeline is complex-free by design: XLA lowers complex
-        to real pairs anyway and f32 planes keep TPU layouts clean)."""
+        to real pairs anyway and f32 planes keep TPU layouts clean).
+
+        period0: explicit absolute period index of x[0] (blockwise /
+        overlapping reads); when given, the internal cursor is untouched,
+        so re-channelizing overlapping segments stays phase-exact for
+        lo_wrap=False."""
         if x.ndim == 2 and x.shape[-1] == 2:
             # (T, 2) re/im planes (device-friendly; complex64 never touches
             # the device)
@@ -251,9 +258,10 @@ class Channelizer:
             b = t // self.p_in
             ph = period_phases(
                 self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b,
-                self._period_cursor,
+                self._period_cursor if period0 is None else period0,
             )
-            self._period_cursor += b
+            if period0 is None:
+                self._period_cursor += b
             x = jnp.asarray(x, dtype=jnp.float32)
             x_r = x[:, 0].reshape(b, self.p_in)
             x_i = (
@@ -267,9 +275,11 @@ class Channelizer:
         assert t % self.p_in == 0, f"block length {t} not a multiple of {self.p_in}"
         b = t // self.p_in
         ph = period_phases(
-            self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b, self._period_cursor
+            self.f_offsets, self.fs, self.sdrclk, self.lo_wrap, b,
+            self._period_cursor if period0 is None else period0,
         )
-        self._period_cursor += b
+        if period0 is None:
+            self._period_cursor += b
         if isinstance(x, np.ndarray):
             x_r = np.ascontiguousarray(x.real, dtype=np.float32).reshape(b, self.p_in)
             if self.real_input or not np.iscomplexobj(x):

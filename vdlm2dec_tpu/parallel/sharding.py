@@ -80,10 +80,10 @@ class ShardedWidebandDecoder:
     purely local; the per-channel 84 kHz streams then exchange halos over
     ICI and run the decode stages, with channels sharded over "chan".
 
-    packed=True compacts each shard's candidates on device into the packed
-    uint8 row format (pipeline.pack_candidates) so the host does ONE fetch
-    of a (n_shards*max_out, ROW) buffer — the multi-chip analogue of the
-    single-chip fast path.
+    Each shard compacts its candidates on device into the packed uint8 row
+    format (pipeline._device_decode_packed layout) so the host does ONE
+    fetch of a (n_shards*max_out, ROW) buffer — the multi-chip analogue of
+    the single-chip fast path.
     """
     mesh: Mesh
     f_offsets: tuple
@@ -92,7 +92,7 @@ class ShardedWidebandDecoder:
     lo_wrap: bool = True
     max_candidates: int = 4
     max_symbols: int = 256
-    packed: bool = True
+    max_out: int = 64              # packed decode slots per shard
 
     def __post_init__(self):
         from ..ops.channelizer import aggregation_matrix, lo_tables, period_for
@@ -140,45 +140,30 @@ class ShardedWidebandDecoder:
             )                                     # (C, T84, 2)
             t84 = y.shape[1]
             y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
-            if self.packed:
-                # early-compaction packed decode (same program as the
-                # single-chip fast path); t0 comes back core-relative,
-                # globalised below via the shard offset baked into meta
-                from ..pipeline import _device_decode_packed
+            # early-compaction packed decode (same program as the
+            # single-chip fast path); t0 comes back core-relative,
+            # globalised below via the shard offset baked into meta
+            from ..pipeline import _device_decode_packed
 
-                chan_base = jax.lax.axis_index("chan") * c
-                buf = _device_decode_packed(
-                    y_ext, mc, ms, self.max_out,
-                    chan_base=chan_base,
-                    core_start=HALO_LEFT, core_len=t84,
-                )
-                # add the shard's global offset to the packed t0 meta word
-                shard_off = (shard * t84).astype(jnp.int32)
-                meta_t0 = jax.lax.bitcast_convert_type(
-                    buf[:, 2052:2056], jnp.int32
-                ) + shard_off      # bitcast of (M, 4) u8 collapses to (M,)
-                t0_u8 = jax.lax.bitcast_convert_type(
-                    meta_t0[:, None], jnp.uint8
-                ).reshape(-1, 4)
-                return jnp.concatenate(
-                    [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
-                )
-            res = _local_decode(y_ext, HALO_LEFT, t84, mc, ms)
-            res["t0"] = res["t0"] + shard * t84
-            return res
-
-        if self.packed:
-            out_specs = P(("chan", "time"), None)
-        else:
-            out_specs = dict(
-                t0=P("chan", "time"), of=P("chan", "time"), df=P("chan", "time"),
-                valid=P("chan", "time"), length=P("chan", "time"),
-                nbrow=P("chan", "time"), nlbyte=P("chan", "time"),
-                ok=P("chan", "time"),
-                blocks=P("chan", "time", None, None),
-                rs_counts=P("chan", "time", None),
-                consumed=P("chan", "time"),
+            chan_base = jax.lax.axis_index("chan") * c
+            buf = _device_decode_packed(
+                y_ext, mc, ms, self.max_out,
+                chan_base=chan_base,
+                core_start=HALO_LEFT, core_len=t84,
             )
+            # add the shard's global offset to the packed t0 meta word
+            shard_off = (shard * t84).astype(jnp.int32)
+            meta_t0 = jax.lax.bitcast_convert_type(
+                buf[:, 2052:2056], jnp.int32
+            ) + shard_off      # bitcast of (M, 4) u8 collapses to (M,)
+            t0_u8 = jax.lax.bitcast_convert_type(
+                meta_t0[:, None], jnp.uint8
+            ).reshape(-1, 4)
+            return jnp.concatenate(
+                [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
+            )
+
+        out_specs = P(("chan", "time"), None)
         self._step = jax.jit(
             jax.shard_map(
                 step,
@@ -192,11 +177,7 @@ class ShardedWidebandDecoder:
         )
         self._consts = (lo_r, lo_i, a, angj)
 
-    @property
-    def max_out(self) -> int:
-        return 64
-
-    def decode(self, x) -> dict:
+    def decode(self, x) -> list:
         with self.mesh:
             x = jax.device_put(
                 jnp.asarray(
@@ -214,11 +195,9 @@ class ShardedWidebandDecoder:
                 jax.device_put(a, NamedSharding(self.mesh, P(None, None))),
                 jax.device_put(ang, NamedSharding(self.mesh, P("chan"))),
             )
-        if self.packed:
-            from ..pipeline import unpack_results
+        from ..pipeline import unpack_results
 
-            return unpack_results(np.asarray(res))
-        return jax.tree.map(np.asarray, res)
+        return unpack_results(np.asarray(res))
 
 
 @dataclass

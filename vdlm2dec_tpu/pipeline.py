@@ -79,52 +79,13 @@ class PipelineConfig:
 # Packed-result layout (one uint8 row per surviving candidate):
 #   [0:2040)    burst block (8 rows x 255 bytes)
 #   [2040:2048) rs counts per row, int8 (count+1 so -1 fits unsigned)
-#   [2048:2088) 10 int32 little-endian meta words:
+#   [2048:2096) 12 int32 little-endian meta words:
 #               chan, t0, length, nbrow, nlbyte, consumed, live,
-#               of_bits, df_bits, err_bits (f32 bitcast)
-PACKED_ROW_BYTES = 2040 + 8 + 40
-
-
-def pack_candidates(res: dict, max_out: int, chan_base=0):
-    """On-device candidate compaction into one uint8 buffer (jittable).
-
-    The host link has high per-fetch latency, so all results ship as a
-    single (max_out, PACKED_ROW_BYTES) uint8 array: surviving candidates
-    (valid sync + accepted header) sorted by trigger time.  chan_base
-    offsets the channel ids (sharded decode: local -> global channels).
-    """
-    c, k = res["t0"].shape
-    n = c * k
-    max_out = min(max_out, n)       # fewer candidates than output slots
-    live = (res["valid"] & res["ok"]).reshape(n)
-    t0 = res["t0"].reshape(n)
-    big = jnp.int32(1 << 30)
-    key = jnp.where(live, t0, big)
-    order = jnp.argsort(key)[:max_out]
-    chan = (order // k).astype(jnp.int32) + chan_base
-
-    def g(name):
-        return res[name].reshape(n, *res[name].shape[2:])[order]
-
-    blocks = g("blocks").reshape(order.shape[0], 8 * 255)
-    rs = (g("rs_counts").astype(jnp.int32) + 1).astype(jnp.uint8)
-    meta = jnp.stack(
-        [
-            chan,
-            g("t0").astype(jnp.int32),
-            g("length").astype(jnp.int32),
-            g("nbrow").astype(jnp.int32),
-            g("nlbyte").astype(jnp.int32),
-            g("consumed").astype(jnp.int32),
-            live[order].astype(jnp.int32),
-            jax.lax.bitcast_convert_type(g("of").astype(jnp.float32), jnp.int32),
-            jax.lax.bitcast_convert_type(g("df").astype(jnp.float32), jnp.int32),
-            jnp.zeros((max_out,), jnp.int32),
-        ],
-        axis=1,
-    )
-    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(max_out, 40)
-    return jnp.concatenate([blocks, rs, meta_u8], axis=1)
+#               of_bits, df_bits, then block-wide stats carried in row 0
+#               only (zero elsewhere so concatenated shard buffers sum
+#               correctly): n_sync_valid, n_header_reject, n_overflow
+#               (triggers dropped because they exceeded max_out slots)
+PACKED_ROW_BYTES = 2040 + 8 + 48
 
 
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
@@ -179,6 +140,11 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     eras_class = jnp.where(is_last, cls_last, 0).reshape(-1)
     fixed, counts = rs_decode_rows(rows, eras_class)
 
+    # block-wide stage counters, carried in row 0 only so buffers
+    # concatenated across shards still sum correctly on the host
+    n_sync_valid = jnp.sum(valid.astype(jnp.int32))
+    n_header_reject = jnp.sum((live & ~ok).astype(jnp.int32))
+    first = (jnp.arange(m) == 0).astype(jnp.int32)
     live = live & ok
     meta = jnp.stack(
         [
@@ -191,11 +157,13 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
             live.astype(jnp.int32),
             jax.lax.bitcast_convert_type(ofs.astype(jnp.float32), jnp.int32),
             jax.lax.bitcast_convert_type(dfs.astype(jnp.float32), jnp.int32),
-            jnp.zeros((m,), jnp.int32),
+            first * n_sync_valid,
+            first * n_header_reject,
+            first * jnp.maximum(n_sync_valid - m, 0),
         ],
         axis=1,
     )
-    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(m, 40)
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(m, 48)
     rs8 = (counts.reshape(m, 8).astype(jnp.int32) + 1).astype(jnp.uint8)
     return jnp.concatenate([fixed.reshape(m, 8 * 255), rs8, meta_u8], axis=1)
 
@@ -251,11 +219,21 @@ _wideband_u8_decode_jit = jax.jit(
 )
 
 
+def packed_stats(buf: np.ndarray) -> dict:
+    """Block-wide stage counters from a packed buffer (sums across shards)."""
+    meta = np.ascontiguousarray(np.asarray(buf)[:, 2048:]).view(np.int32)
+    return {
+        "sync_candidates": int(meta[:, 9].sum()),
+        "bursts_rejected_header": int(meta[:, 10].sum()),
+        "candidates_overflow": int(meta[:, 11].sum()),
+    }
+
+
 def unpack_results(buf: np.ndarray) -> list[dict]:
     """Host-side unpack of _device_decode_packed rows -> candidate dicts."""
     out = []
     for row in np.ascontiguousarray(np.asarray(buf)):
-        meta = row[2048:2088].copy().view(np.int32)
+        meta = row[2048:2096].copy().view(np.int32)
         live = int(meta[6])
         if not live:
             continue
@@ -287,6 +265,8 @@ def burst_span_samples(consumed_bits: int, of: float) -> int:
 class Pipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        self.metrics = None              # optional PipelineMetrics sink
+        self._overflow_warned = False
         self.sdrclk = cfg.resolved_sdrclk()
         if cfg.fc_hz is None:
             from .io.sdr import choose_fc
@@ -328,6 +308,8 @@ class Pipeline:
         """y: (C, T) complex or (C, T, 2) re/im decimated 84 kHz streams."""
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
             y = pack_complex(y)
+        if self.metrics is not None:
+            self.metrics.decimated_samples += int(y.shape[0] * y.shape[1])
         if self._sharded is not None:
             cands = self._sharded.decode(y)       # packed candidate list
         else:
@@ -340,13 +322,39 @@ class Pipeline:
         The packed path does ONE device->host fetch (high per-fetch latency
         on tunneled TPU links makes per-array fetches the dominant cost).
         """
-        buf = _device_decode_packed_jit(
+        import time as _time
+
+        t_start = _time.perf_counter()
+        buf = np.asarray(_device_decode_packed_jit(
             jnp.asarray(y, dtype=jnp.float32),
             self.cfg.max_candidates,
             self.cfg.max_symbols,
             self._max_out(),
-        )
-        return unpack_results(np.asarray(buf))
+        ))
+        self._observe_packed(buf, _time.perf_counter() - t_start)
+        return unpack_results(buf)
+
+    def _observe_packed(self, buf: np.ndarray, device_s: float = 0.0) -> None:
+        """Fold a packed buffer's on-device stage counters into metrics and
+        surface candidate overflow (silent frame loss otherwise)."""
+        stats = packed_stats(buf)
+        if stats["candidates_overflow"] and not self._overflow_warned:
+            import sys as _sys
+
+            self._overflow_warned = True
+            print(
+                f"vdlm2t: WARNING: {stats['candidates_overflow']} sync "
+                f"candidates dropped: decode slots exhausted "
+                f"(max_out={self._max_out()}); raise max_out/max_candidates",
+                file=_sys.stderr,
+            )
+        m = self.metrics
+        if m is None:
+            return
+        m.sync_candidates += stats["sync_candidates"]
+        m.bursts_rejected_header += stats["bursts_rejected_header"]
+        m.candidates_overflow += stats["candidates_overflow"]
+        m.device_time_s += device_s
 
     def _max_out(self) -> int:
         if self.cfg.max_out is not None:
@@ -373,7 +381,10 @@ class Pipeline:
             ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
         )
         ch._period_cursor += b
-        buf = _wideband_u8_decode_jit(
+        import time as _time
+
+        t_start = _time.perf_counter()
+        buf = np.asarray(_wideband_u8_decode_jit(
             jnp.asarray(raw),
             ch._lo_r, ch._lo_i,
             jnp.asarray(np.ascontiguousarray(ph.real)),
@@ -384,35 +395,86 @@ class Pipeline:
             self.cfg.max_symbols,
             self._max_out(),
             self.cfg.use_pallas,
-        )
-        return unpack_results(np.asarray(buf))
+        ))
+        self._observe_packed(buf, _time.perf_counter() - t_start)
+        return unpack_results(buf)
 
     # -- streaming -----------------------------------------------------------
-    def stream_wideband(self, x: np.ndarray, block_seconds: float = 4.0):
-        """Decode a long capture in fixed-size overlapping blocks.
+    def core_raw_samples(self, block_seconds: float) -> int:
+        """Raw wideband samples per streaming core block (exact; the
+        checkpoint cursor advances in these units)."""
+        p_in = self.channelizer.p_in
+        return max(1, int(block_seconds * self.cfg.fs) // p_in) * p_in
+
+    def stream_wideband(self, x, block_seconds: float = 4.0,
+                        start_block: int = 0,
+                        prev_end: dict[int, int] | None = None):
+        """Decode a long capture in fixed-size overlapping blocks with
+        CONSTANT memory: each core block's raw segment (core + halo margins)
+        is sliced, channelized on device, and decoded — nothing is ever
+        materialized at capture scale.  x: numpy array or io.sdr.CaptureReader
+        (memmap-backed, so multi-GB captures stream from disk).
 
         Yields lists of DecodedBurst per block.  Burst ownership: the block
         whose core region contains the sync trigger; a right-margin of one
         max burst window lets owned bursts complete past the core edge, and
-        cross-block greedy state prevents re-decoding a burst that re-syncs
-        inside a previous block's span.
+        cross-block greedy state (prev_end, resumable via checkpoint)
+        prevents re-decoding a burst that re-syncs inside a previous
+        block's span.  start_block skips already-decoded blocks exactly:
+        segments are addressed by absolute position, so a resumed stream
+        yields byte-identical blocks to an uninterrupted run.
         """
-        p_in = self.channelizer.p_in
-        t = len(x) - len(x) % p_in
-        step_raw = max(p_in, int(block_seconds * self.cfg.fs) // p_in * p_in)
-        ys = []
-        for i in range(0, t, step_raw):
-            ys.append(np.asarray(self.channelizer(x[i : min(i + step_raw, t)])))
-        if not ys:
-            return
-        y = np.concatenate(ys, axis=1)
-        yield from self.stream_channels(y)
+        ch = self.channelizer
+        p_in, p_out = ch.p_in, ch.p_out
+        lmarg_p = -(-160 // p_out)                     # >=160 decimated
+        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
+        core_p = self.core_raw_samples(block_seconds) // p_in
+        lmarg_dec, core_dec = lmarg_p * p_out, core_p * p_out
+        t = len(x)
+        n_core = -(-t // (core_p * p_in))
+        total_dec = (t // p_in) * p_out
+        c = len(self.f_offsets)
+        if prev_end is None:
+            prev_end = {}
+
+        if hasattr(x, "read"):
+            read = x.read
+        else:
+            def read(start: int, n: int) -> np.ndarray:
+                s_lo, s_hi = max(start, 0), min(start + n, t)
+                if s_lo == start and s_hi == start + n:
+                    return x[start : start + n]
+                out = np.zeros(n, dtype=x.dtype)
+                if s_hi > s_lo:
+                    out[s_lo - start : s_hi - start] = x[s_lo:s_hi]
+                return out
+
+        for i in range(start_block, n_core):
+            lo_p = i * core_p - lmarg_p
+            seg = read(lo_p * p_in, (lmarg_p + core_p + rmarg_p) * p_in)
+            y = ch(seg, period0=lo_p)
+            cands = self._decode_block(jnp.asarray(y))
+            cands = [
+                cd for cd in cands
+                if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec
+            ]
+            if self.metrics is not None:
+                self.metrics.decimated_samples += c * max(
+                    0, min(core_dec, total_dec - i * core_dec)
+                )
+            yield self._finish(cands, t_offset=i * core_dec - lmarg_dec,
+                               prev_end=prev_end)
 
     def stream_wideband_u8(self, raw: np.ndarray, block_seconds: float = 2.0,
-                           pipelined: bool = True):
+                           pipelined: bool = True, start_block: int = 0,
+                           prev_end: dict[int, int] | None = None):
         """Fast streaming decode of a cu8 capture: fixed overlapping raw
         blocks through the fused u8 device program (one dispatch + one fetch
-        per block, optionally overlapped via PipelinedDecoder).
+        per block, optionally overlapped via PipelinedDecoder).  raw may be
+        a np.memmap — segments are sliced by absolute position, so memory
+        stays constant and start_block resumes exactly (byte-identical
+        blocks vs an uninterrupted run; pass the checkpointed prev_end to
+        also restore cross-block burst-span suppression).
 
         Requires lo_wrap=True (the reference's LO mode, the default): the
         fused program is block-position independent there.
@@ -425,7 +487,7 @@ class Pipeline:
         # margins in whole periods
         lmarg_p = -(-160 // p_out)                     # >=160 decimated
         rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
-        core_p = max(1, int(block_seconds * self.cfg.fs) // p_in)
+        core_p = self.core_raw_samples(block_seconds) // p_in
         # round the EXTENDED block to the pallas alignment
         total_p = lmarg_p + core_p + rmarg_p
         total_p += (-total_p) % align
@@ -434,10 +496,13 @@ class Pipeline:
         core_dec = core_p * p_out
 
         t_samp = len(raw) // 2
+        total_dec = (t_samp // p_in) * p_out
         n_core = -(-t_samp // (core_p * p_in))
+        n_chan = len(self.f_offsets)
         pd = PipelinedDecoder(self) if pipelined else None
-        prev_end: dict[int, int] = {}
-        pending: list[tuple[int, int]] = []            # (block index, t_off)
+        if prev_end is None:
+            prev_end = {}
+        pending: list[int] = []                        # t_off FIFO
 
         def seg_bytes(i):
             lo = (i * core_p - lmarg_p) * p_in * 2
@@ -453,9 +518,14 @@ class Pipeline:
                 cd for cd in cands
                 if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec
             ]
+            if self.metrics is not None:
+                i = (t_off + lmarg_dec) // core_dec
+                self.metrics.decimated_samples += n_chan * max(
+                    0, min(core_dec, total_dec - i * core_dec)
+                )
             return self._finish(cands, t_offset=t_off, prev_end=prev_end)
 
-        for i in range(n_core):
+        for i in range(start_block, n_core):
             t_off = i * core_dec - lmarg_dec
             if pd is None:
                 yield finish(self.decode_wideband_u8(seg_bytes(i)), t_off)
@@ -531,6 +601,8 @@ class Pipeline:
                 cd for cd in cands
                 if lmargin <= cd["t0"] < lmargin + core_len
             ]
+            if self.metrics is not None:
+                self.metrics.decimated_samples += c * min(core_len, t - i)
             yield self._finish(cands, t_offset=i - lmargin, prev_end=prev_end)
 
     # -- host finisher -------------------------------------------------------
@@ -604,179 +676,72 @@ class PipelinedDecoder:
         self._worker.start()
 
     def _fetch_loop(self):
+        import time as _time
+
         while True:
             buf = self._q.get()
             if buf is None:
                 self._out.put(None)
                 return
             try:
-                self._out.put(unpack_results(np.asarray(buf)))
-            except Exception as e:          # surface errors to the consumer
-                self._out.put(e)
-
-    def _dispatch(self, raw: np.ndarray):
-        from .io.sdr import RTL_DC_OFFSET
-        from .ops.channelizer import period_phases
-
-        ch = self.pipe.channelizer
-        t = len(raw) // 2
-        align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
-        t -= t % align
-        b = t // ch.p_in
-        ph = period_phases(
-            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
-        )
-        ch._period_cursor += b
-        return _wideband_u8_decode_jit(
-            jnp.asarray(raw[: 2 * t]),
-            ch._lo_r, ch._lo_i,
-            jnp.asarray(np.ascontiguousarray(ph.real)),
-            jnp.asarray(np.ascontiguousarray(ph.imag)),
-            ch._a,
-            jnp.float32(RTL_DC_OFFSET),
-            self.pipe.cfg.max_candidates,
-            self.pipe.cfg.max_symbols,
-            self.pipe._max_out(),
-            self.pipe.cfg.use_pallas,
-        )
-
-    def submit(self, raw: np.ndarray):
-        """Dispatch a block; yields any already-completed blocks' candidates
-        (non-blocking unless the pipeline is full)."""
-        self._q.put(self._dispatch(raw))
-        while True:
-            try:
-                r = self._out.get_nowait()
-            except Exception:
-                break
-            if isinstance(r, Exception):
-                raise r
-            yield r
-
-    def drain(self):
-        """Finish: yields remaining results; the decoder is then closed."""
-        self._q.put(None)
-        while True:
-            r = self._out.get()
-            if r is None:
-                return
-            if isinstance(r, Exception):
-                raise r
-            yield r
-
-
-class PipelinedDecoder:
-    """Overlapped dispatch/fetch for the u8 fast path.
-
-    The tunneled TPU backend executes lazily (work runs when a result is
-    fetched), so a fetch thread one block behind the dispatcher overlaps
-    host<->device transfers with device compute (~1.8x on this link).
-
-    Usage:
-        pd = PipelinedDecoder(pipe)
-        for raw_u8_block in blocks:
-            for cands in pd.submit(raw_u8_block):
-                ...
-        for cands in pd.drain():
-            ...
-    """
-
-    def __init__(self, pipe: "Pipeline", depth: int = 2):
-        import queue
-        import threading
-
-        self.pipe = pipe
-        self.depth = depth
-        self._q = queue.Queue(maxsize=depth)
-        self._out = queue.Queue()
-        self._worker = threading.Thread(target=self._fetch_loop, daemon=True)
-        self._worker.start()
-
-    def _fetch_loop(self):
-        while True:
-            buf = self._q.get()
-            if buf is None:
-                self._out.put(None)
-                return
-            try:
-                self._out.put(unpack_results(np.asarray(buf)))
-            except Exception as e:          # surface errors to the consumer
-                self._out.put(e)
-
-    def _dispatch(self, raw: np.ndarray):
-        from .io.sdr import RTL_DC_OFFSET
-        from .ops.channelizer import period_phases
-
-        ch = self.pipe.channelizer
-        t = len(raw) // 2
-        align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
-        t -= t % align
-        b = t // ch.p_in
-        ph = period_phases(
-            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
-        )
-        ch._period_cursor += b
-        return _wideband_u8_decode_jit(
-            jnp.asarray(raw[: 2 * t]),
-            ch._lo_r, ch._lo_i,
-            jnp.asarray(np.ascontiguousarray(ph.real)),
-            jnp.asarray(np.ascontiguousarray(ph.imag)),
-            ch._a,
-            jnp.float32(RTL_DC_OFFSET),
-            self.pipe.cfg.max_candidates,
-            self.pipe.cfg.max_symbols,
-            self.pipe._max_out(),
-            self.pipe.cfg.use_pallas,
-        )
-
-    def submit(self, raw: np.ndarray):
-        """Dispatch a block; yields any already-completed blocks' candidates
-        (non-blocking unless the pipeline is full)."""
-        self._q.put(self._dispatch(raw))
-        while True:
-            try:
-                r = self._out.get_nowait()
-            except Exception:
-                break
-            if isinstance(r, Exception):
-                raise r
-            yield r
-
-    def drain(self):
-        """Finish: yields remaining results; the decoder is then closed."""
-        self._q.put(None)
-        while True:
-            r = self._out.get()
-            if r is None:
-                return
-            if isinstance(r, Exception):
-                raise r
-            yield r
-
-
-def _dict_to_candidates(res: dict) -> list[dict]:
-    """Adapter: (C, K)-grid result dict (sharded path) -> candidate list."""
-    cands = []
-    c, k = res["t0"].shape
-    for ci in range(c):
-        for ki in range(k):
-            if not (res["valid"][ci, ki] and res["ok"][ci, ki]):
-                continue
-            cands.append(
-                dict(
-                    chan=ci,
-                    t0=int(res["t0"][ci, ki]),
-                    length=int(res["length"][ci, ki]),
-                    nbrow=int(res["nbrow"][ci, ki]),
-                    nlbyte=int(res["nlbyte"][ci, ki]),
-                    consumed=int(res["consumed"][ci, ki]),
-                    of=float(res["of"][ci, ki]),
-                    df=float(res["df"][ci, ki]),
-                    block=res["blocks"][ci, ki],
-                    rs_counts=res["rs_counts"][ci, ki],
+                t_start = _time.perf_counter()
+                host_buf = np.asarray(buf)
+                self.pipe._observe_packed(
+                    host_buf, _time.perf_counter() - t_start
                 )
-            )
-    return cands
+                self._out.put(unpack_results(host_buf))
+            except Exception as e:          # surface errors to the consumer
+                self._out.put(e)
+
+    def _dispatch(self, raw: np.ndarray):
+        from .io.sdr import RTL_DC_OFFSET
+        from .ops.channelizer import period_phases
+
+        ch = self.pipe.channelizer
+        t = len(raw) // 2
+        align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
+        t -= t % align
+        b = t // ch.p_in
+        ph = period_phases(
+            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
+        )
+        ch._period_cursor += b
+        return _wideband_u8_decode_jit(
+            jnp.asarray(raw[: 2 * t]),
+            ch._lo_r, ch._lo_i,
+            jnp.asarray(np.ascontiguousarray(ph.real)),
+            jnp.asarray(np.ascontiguousarray(ph.imag)),
+            ch._a,
+            jnp.float32(RTL_DC_OFFSET),
+            self.pipe.cfg.max_candidates,
+            self.pipe.cfg.max_symbols,
+            self.pipe._max_out(),
+            self.pipe.cfg.use_pallas,
+        )
+
+    def submit(self, raw: np.ndarray):
+        """Dispatch a block; yields any already-completed blocks' candidates
+        (non-blocking unless the pipeline is full)."""
+        self._q.put(self._dispatch(raw))
+        while True:
+            try:
+                r = self._out.get_nowait()
+            except Exception:
+                break
+            if isinstance(r, Exception):
+                raise r
+            yield r
+
+    def drain(self):
+        """Finish: yields remaining results; the decoder is then closed."""
+        self._q.put(None)
+        while True:
+            r = self._out.get()
+            if r is None:
+                return
+            if isinstance(r, Exception):
+                raise r
+            yield r
 
 
 def deframe_corrected(block: np.ndarray, nbrow: int, nlbyte: int) -> list[np.ndarray]:
