@@ -1,0 +1,257 @@
+"""ARINC-622 ATS decode: ADS-C full tag walk + CPDLC FANS-1/A DM48.
+
+Vectors are hand-built with the package's own encoders (fans.encode_downlink,
+BitWriter), covering every FANSAltitude encoding (arincpos.c:47-90),
+sequence-carried DM48 elements (arincpos.c:192-211) and multi-tag ADS-C
+messages (arincpos.c:153-164).
+"""
+import math
+
+import pytest
+
+from vdlm2dec_tpu.host import arinc, fans
+from vdlm2dec_tpu.host.acars import Oooi
+
+
+def wrap(imi: str, payload: bytes, reg: str = ".N123AB") -> str:
+    """ARINC-622 envelope: hex-encoded app data + CRC-16 trailer
+    (the ACARS text channel is 7-bit, so the wire format is hex)."""
+    reg = reg[:7].rjust(7, ".")
+    crc = arinc.crc16_ccitt((imi + reg).encode() + payload)
+    return ("/AKLCDYA." + imi + reg
+            + payload.hex().upper() + f"{crc:04X}")
+
+
+def latlon(lat_deg, lat_min10, south, lon_deg, lon_min10, west):
+    return fans.LatLon(lat_deg, lat_min10, south, lon_deg, lon_min10, west)
+
+
+# -- FANS-1/A codec ------------------------------------------------------------
+ALT_CASES = [
+    # (encoding, raw value, expected feet)  -- arincpos.c:52-88
+    ("altitudeQNH", 350, 3500),
+    ("altitudeQNHMeters", 1200, round(1200 * 3.28084)),
+    ("altitudeQFE", -60, -600),
+    ("altitudeQFEMeters", 25, round(25 * 3.28084)),
+    ("altitudeGNSSFeet", 36975, 36975),
+    ("altitudeGNSSMeters", 11000, round(11000 * 3.28084)),
+    ("altitudeFlightLevel", 350, 35000),
+    ("altitudeFlightLevelMetric", 1050, round(1050 * 10.0 * 3.28084)),
+]
+
+
+@pytest.mark.parametrize("encoding,value,feet", ALT_CASES)
+def test_fans_altitude_roundtrip(encoding, value, feet):
+    p = latlon(37, 305, False, 122, 91, True)
+    data = fans.encode_downlink(48, [dict(
+        latlon=p, hours=12, minutes=34, alt_encoding=encoding,
+        alt_value=value,
+    )])
+    msg = fans.decode_downlink(data)
+    rpt = fans.find_dm48(msg)
+    assert rpt is not None
+    assert rpt.altitude.encoding == encoding
+    assert rpt.altitude.value == value
+    assert rpt.altitude.feet == feet
+    # parse_coordinate semantics (arincpos.c:38-45, 99-110)
+    assert rpt.position.lat == pytest.approx(37 + 305 / 10 / 60)
+    assert rpt.position.lon == pytest.approx(-(122 + 91 / 10 / 60))
+    assert (rpt.hours, rpt.minutes) == (12, 34)
+
+
+def test_fans_optional_minutes_absent():
+    p = latlon(52, None, True, 4, None, False)
+    data = fans.encode_downlink(7, [dict(
+        latlon=p, hours=0, minutes=0, alt_encoding="altitudeFlightLevel",
+        alt_value=100,
+    )], msg_ref=5, timestamp=(23, 59, 58))
+    msg = fans.decode_downlink(data)
+    assert msg.msg_id == 7 and msg.msg_ref == 5
+    assert msg.timestamp == (23, 59, 58)
+    rpt = fans.find_dm48(msg)
+    assert rpt.position.lat == -52.0
+    assert rpt.position.lon == 4.0
+
+
+def test_fans_seqof_multiple_dm48():
+    reports = [
+        dict(latlon=latlon(10 + i, 100 * i, False, 20 + i, None, False),
+             hours=i, minutes=i, alt_encoding="altitudeFlightLevel",
+             alt_value=310 + i)
+        for i in range(3)
+    ]
+    msg = fans.decode_downlink(fans.encode_downlink(48, reports))
+    got = [el for el in msg.elements if isinstance(el, fans.PositionReport)]
+    assert len(got) == 3
+    assert [r.altitude.feet for r in got] == [31000, 31100, 31200]
+    # find_dm48 returns the first (arincpos.c:184-189 before the seqOf walk)
+    assert fans.find_dm48(msg).position.lat == pytest.approx(10.0)
+
+
+def test_fans_unsupported_element():
+    w = fans.BitWriter()
+    w.write(0, 3)                      # no seqOf, no ref, no ts
+    fans.write_int(w, 11, 0, 63)       # msg id
+    fans.write_int(w, 0, 0, 80)        # dM0 WILCO (unmodelled)
+    msg = fans.decode_downlink(w.bytes())
+    assert isinstance(msg.elements[0], fans.UnsupportedElement)
+    assert msg.elements[0].index == 0
+    assert fans.find_dm48(msg) is None
+
+
+def test_fans_truncated_raises():
+    with pytest.raises(ValueError):
+        fans.decode_downlink(b"\x01")
+
+
+# -- ADS-C tag walk ------------------------------------------------------------
+def adsc_basic_bytes(lat, lon, alt_ft, ts_s=100.0):
+    w = fans.BitWriter()
+    w.write(int(round(lat / arinc.COORD_LSB)) & 0x1FFFFF, 21)
+    w.write(int(round(lon / arinc.COORD_LSB)) & 0x1FFFFF, 21)
+    w.write((alt_ft // 4) & 0xFFFF, 16)
+    w.write(int(ts_s / 0.125), 15)
+    w.write(0, 7)                      # fom + tcas
+    return w.bytes()
+
+
+def test_adsc_single_basic_report():
+    payload = bytes([7]) + adsc_basic_bytes(37.5, -122.25, 35000)
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("ADS", payload), "B6", "2", oooi)
+    assert node is not None and node.app == "adsc"
+    assert oooi.epu == 1
+    assert oooi.lat == pytest.approx(37.5, abs=1e-3)
+    assert oooi.lon == pytest.approx(-122.25, abs=1e-3)
+    assert oooi.alt == 35000
+
+
+def test_adsc_multi_tag_walk_basic_not_first():
+    """flight id + earth ref groups precede the basic report: the old
+    first-tag-only parser lost this position (VERDICT missing #2)."""
+    fid = fans.BitWriter()
+    for ch in "AFR1234 ":
+        fid.write(ord(ch) & 0x3F, 6)
+    earth = fans.BitWriter()
+    earth.write(int(90.0 / (360.0 / 4096.0)), 12)      # track 90 deg
+    earth.write(int(450 / 0.5), 13)                    # gs 450 kt
+    earth.write(0, 12)
+    earth.write(0, 3)
+    payload = (
+        bytes([11]) + fid.bytes()
+        + bytes([13]) + earth.bytes()
+        + bytes([9]) + adsc_basic_bytes(-33.9375, 151.125, 12000)
+    )
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("ADS", payload), "B6", "3", oooi)
+    assert node is not None
+    txt = arinc.format_tree(node)
+    assert "flight id: AFR1234" in txt
+    assert "earth reference" in txt and "track 90.0" in txt
+    assert "emergency basic report" in txt
+    assert oooi.lat == pytest.approx(-33.9375, abs=1e-3)
+    assert oooi.lon == pytest.approx(151.125, abs=1e-3)
+    assert oooi.alt == 12000
+
+
+def test_adsc_unknown_tag_keeps_earlier_groups():
+    payload = (
+        bytes([7]) + adsc_basic_bytes(10.0, 20.0, 8000)
+        + bytes([99, 1, 2, 3])
+    )
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("ADS", payload), "B6", "9", oooi)
+    txt = arinc.format_tree(node)
+    assert "basic report" in txt
+    assert "unknown tag 99" in txt
+    assert oooi.alt == 8000
+
+
+def test_adsc_ack_and_cancel_groups():
+    payload = bytes([3, 5]) + bytes([6]) + bytes([4, 7, 2])
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("ADS", payload), "B6", "5", oooi)
+    txt = arinc.format_tree(node)
+    assert "acknowledgement: contract request 5" in txt
+    assert "cancel emergency mode" in txt
+    assert "negative acknowledgement: contract request 7 reason 2" in txt
+    assert oooi.epu == 0                 # no position in the message
+
+
+def test_adsc_uplink_not_walked():
+    payload = bytes([7]) + adsc_basic_bytes(1.0, 2.0, 4000)
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("ADS", payload), "B6", "A", oooi)
+    assert node is not None and "uplink" in node.lines[0]
+    assert oooi.epu == 0
+
+
+# -- CPDLC through the ARINC envelope -------------------------------------------
+def cpdlc_text(reports, **kw):
+    return wrap("AT1", fans.encode_downlink(48, reports, **kw))
+
+
+def test_cpdlc_dm48_fills_oooi():
+    p = latlon(48, 251, False, 2, 330, False)
+    oooi = Oooi()
+    node = arinc.arinc_decode(
+        cpdlc_text([dict(latlon=p, hours=14, minutes=55,
+                         alt_encoding="altitudeFlightLevel",
+                         alt_value=390)]),
+        "B6", "2", oooi)
+    assert node is not None and node.app == "cpdlc"
+    txt = arinc.format_tree(node)
+    assert "DM48 position report" in txt
+    assert "altitudeFlightLevel=390 (39000 ft)" in txt
+    assert oooi.epu == 1
+    assert oooi.lat == pytest.approx(48 + 251 / 10 / 60)
+    assert oooi.lon == pytest.approx(2 + 330 / 10 / 60)
+    assert oooi.alt == 39000
+
+
+def test_cpdlc_negative_altitude_not_copied():
+    """arincpos.c:114-116: alt copied only when > 0."""
+    p = latlon(25, None, True, 55, None, False)
+    oooi = Oooi()
+    arinc.arinc_decode(
+        cpdlc_text([dict(latlon=p, hours=1, minutes=2,
+                         alt_encoding="altitudeQNH", alt_value=-10)]),
+        "B6", "7", oooi)
+    assert oooi.epu == 1 and oooi.lat == pytest.approx(-25.0)
+    assert oooi.alt == 0                  # -100 ft not copied
+
+
+def test_cpdlc_uplink_and_other_imis():
+    oooi = Oooi()
+    node = arinc.arinc_decode(wrap("AT1", b"\x00\x01"), "B6", "X", oooi)
+    assert node is not None and "uplink" in node.lines[0]
+    node = arinc.arinc_decode(wrap("CR1", b"\x01"), "B6", "2", oooi)
+    assert node is not None and "CR1" in node.lines[0]
+    assert oooi.epu == 0
+
+
+def test_crc_mismatch_reported_but_decoded():
+    payload = bytes([7]) + adsc_basic_bytes(10.0, 20.0, 8000)
+    text = wrap("ADS", payload)[:-4] + "0000"       # corrupt the CRC
+    oooi = Oooi()
+    node = arinc.arinc_decode(text, "B6", "2", oooi)
+    assert node is not None
+    assert "crc mismatch" in arinc.format_tree(node)
+    assert oooi.alt == 8000                          # still decoded
+
+
+def test_non_hex_payload_rejected():
+    oooi = Oooi()
+    assert arinc.arinc_decode("/AKLCDYA.ADS.N123ABZZZZZZ", "B6",
+                              "2", oooi) is None
+
+
+def test_h1_sublabel_strip():
+    p = latlon(10, None, False, 20, None, False)
+    body = cpdlc_text([dict(latlon=p, hours=3, minutes=4,
+                            alt_encoding="altitudeGNSSFeet",
+                            alt_value=5000)])
+    oooi = Oooi()
+    node = arinc.arinc_decode("#T1" + body, "H1", "2", oooi)
+    assert node is not None and node.app == "cpdlc"
+    assert oooi.alt == 5000

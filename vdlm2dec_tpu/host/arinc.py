@@ -1,96 +1,250 @@
-"""ARINC-622 ATS application decode (ADS-C position subset).
+"""ARINC-622 ATS application decode: ADS-C (full tag walk) + CPDLC FANS-1/A.
 
 The reference delegates to libacars when pkg-config finds it
-(arincpos.c:120-216, CMakeLists.txt:10-21).  This module:
+(arincpos.c:120-216, CMakeLists.txt:10-21); this is a native, dependency-
+free implementation of the same surface:
 
-  1. tries to load libacars-2 via ctypes (full fidelity when available);
-  2. otherwise falls back to a native minimal subset: ARINC-622 sublabel/MFI
-     stripping plus ADS-C basic-report extraction (the fields the reference
-     actually consumes: lat/lon/alt into oooi, arincpos.c:146-174).
+  * ARINC-622 envelope parse: "/<7-char ground addr>.<IMI>.<7-char
+    dot-padded reg><hex payload><4 hex CRC chars>" — the application data
+    is HEX characters because the ACARS text channel is 7-bit (the
+    reference strips parity before arincdecode, outacars.c:224-227);
+    direction from the ACARS block id (digit = downlink, arincpos.c:130-133),
+    sublabel/MFI strip for H1 (la_acars_extract_sublabel_and_mfi);
+  * ADS-C (IMI ADS): walk EVERY tag group of the message — the reference
+    iterates the whole la_list (arincpos.c:153-164) — decoding each known
+    group into text lines; the first basic report among tags
+    7/9/10/18/19/20 fills oooi (lat/lon/alt/epu, arincpos.c:165-172);
+  * CPDLC (IMI AT1): FANS-1/A unaligned-PER decode via host.fans; a DM48
+    position report (top element or element sequence) fills oooi with
+    lat/lon and, when positive, altitude in any of 8 encodings
+    (arincpos.c:47-118, 176-213).
 
-The native ADS-C parser follows ARINC 745: coordinates are 21-bit
-two's-complement with LSB 180/2^20 degrees, altitude 16-bit signed in 4 ft
-units.  Basic reports ride in tags 7 (basic), 9 (emergency), 10 (lateral
-deviation), 18 (vertical rate), 19 (altitude range), 20 (ground ref).
+ADS-C group layout per ARINC 745-2: coordinates 21-bit two's-complement
+with LSB 180/2^20 deg, altitude 16-bit signed in 4 ft units, timestamp
+15 bits in 0.125 s units, flight id 8 six-bit ICAO chars.  Group data
+lengths follow libacars's adsc.c tag tables.
 """
 from __future__ import annotations
 
-import ctypes.util
 from dataclasses import dataclass, field
 
-_LIBACARS = None
-_LIBACARS_TRIED = False
-
-
-def _try_libacars():
-    global _LIBACARS, _LIBACARS_TRIED
-    if _LIBACARS_TRIED:
-        return _LIBACARS
-    _LIBACARS_TRIED = True
-    for name in ("libacars-2.so.2", "libacars-2.so", "acars-2"):
-        try:
-            path = name if name.startswith("lib") else ctypes.util.find_library(name)
-            if path:
-                _LIBACARS = ctypes.CDLL(path)
-                break
-        except OSError:
-            continue
-    return _LIBACARS
+from . import fans
 
 
 @dataclass
 class ArincNode:
-    """Minimal decode result (stands in for la_proto_node)."""
-    app: str                              # "adsc" | "cpdlc" | "unknown"
+    """Decode result (stands in for la_proto_node's formatted tree)."""
+    app: str                              # "adsc" | "cpdlc"
     lines: list[str] = field(default_factory=list)
     lat: float | None = None
     lon: float | None = None
     alt: int | None = None
 
 
-ADSC_DOWNLINK_LABELS = ("A6", "B6")
-BASIC_REPORT_TAGS = {7: "basic", 9: "emergency", 10: "lateral dev",
-                     18: "vertical rate", 19: "altitude range", 20: "ground ref"}
-_BASIC_REPORT_LEN = 10      # tag + lat(3) + lon(3) + alt(2) + ts/fom
+BASIC_REPORT_TAGS = {
+    7: "basic report",
+    9: "emergency basic report",
+    10: "lateral deviation change event",
+    18: "vertical rate change event",
+    19: "altitude range change event",
+    20: "waypoint change event",
+}
+
+# downlink tag -> (name, data length in bytes after the tag); None length =
+# variable/terminal (consumes the rest of the message)
+DOWNLINK_TAGS = {
+    3: ("acknowledgement", 1),
+    4: ("negative acknowledgement", 2),
+    5: ("noncompliance notification", None),
+    6: ("cancel emergency mode", 0),
+    7: ("basic report", 10),
+    9: ("emergency basic report", 10),
+    10: ("lateral deviation change event", 10),
+    11: ("flight identification", 6),
+    12: ("predicted route", 17),
+    13: ("earth reference", 5),
+    14: ("air reference", 5),
+    15: ("meteorological", 4),
+    16: ("airframe identification", 3),
+    17: ("intermediate projected intent", 8),
+    18: ("vertical rate change event", 10),
+    19: ("altitude range change event", 10),
+    20: ("waypoint change event", 10),
+    22: ("fixed projected intent", 10),
+}
+
+COORD_LSB = 180.0 / (1 << 20)
 
 
-def _s21(v: int) -> int:
-    return v - (1 << 21) if v & (1 << 20) else v
+def _s(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
 
 
-def parse_adsc_basic(data: bytes) -> ArincNode | None:
-    """Walk ADS-C tags; extract the first basic report's position."""
-    node = ArincNode(app="adsc")
-    i = 0
-    n = len(data)
-    found = False
+def _bits(data: bytes, start: int, n: int) -> int:
+    """Big-endian bit-field extract: n bits starting at bit offset start."""
+    v = 0
+    for i in range(start, start + n):
+        v = (v << 1) | ((data[i >> 3] >> (7 - (i & 7))) & 1)
+    return v
+
+
+def _icao6(v: int) -> str:
+    """ICAO 6-bit char set: 0x01-0x1A -> A-Z, else the low 6 bits as-is."""
+    return chr(v | 0x40) if v < 0x20 else chr(v)
+
+
+@dataclass
+class BasicReport:
+    lat: float
+    lon: float
+    alt: int
+    ts: float                # seconds within the hour, 0.125 s resolution
+
+
+def parse_basic_report(data: bytes) -> BasicReport:
+    """10-byte basic group: lat(21) lon(21) alt(16) ts(15) fom(6) tcas(1)."""
+    lat = _s(_bits(data, 0, 21), 21) * COORD_LSB
+    lon = _s(_bits(data, 21, 21), 21) * COORD_LSB
+    alt = _s(_bits(data, 42, 16), 16) * 4
+    ts = _bits(data, 58, 15) * 0.125
+    return BasicReport(lat, lon, alt, ts)
+
+
+def _group_lines(tag: int, name: str, data: bytes) -> list[str]:
+    """Decode one ADS-C group's contents into indented text lines."""
+    if tag in BASIC_REPORT_TAGS:
+        r = parse_basic_report(data)
+        return [
+            f"  {name}:",
+            f"    lat {r.lat:.7f} lon {r.lon:.7f} alt {r.alt} ft"
+            f" ts {r.ts:.3f} s",
+        ]
+    if tag == 3:
+        return [f"  {name}: contract request {data[0]}"]
+    if tag == 4:
+        return [f"  {name}: contract request {data[0]} reason {data[1]}"]
+    if tag == 5:
+        return [f"  {name}: {data.hex()}"]
+    if tag == 6:
+        return [f"  {name}"]
+    if tag == 11:
+        fid = "".join(_icao6(_bits(data, 6 * i, 6)) for i in range(8))
+        return [f"  flight id: {fid.strip()}"]
+    if tag == 12:
+        wp1 = parse_basic_report(data[:8] + b"\0\0")
+        lat2 = _s(_bits(data, 74, 21), 21) * COORD_LSB
+        lon2 = _s(_bits(data, 95, 21), 21) * COORD_LSB
+        alt2 = _s(_bits(data, 116, 16), 16) * 4
+        return [
+            f"  {name}:",
+            f"    next: lat {wp1.lat:.7f} lon {wp1.lon:.7f} alt {wp1.alt} ft"
+            f" eta {_bits(data, 58, 16)} s",
+            f"    next+1: lat {lat2:.7f} lon {lon2:.7f} alt {alt2} ft",
+        ]
+    if tag == 13:
+        track = _bits(data, 0, 12) * (360.0 / 4096.0)
+        gs = _bits(data, 12, 13) * 0.5
+        vr = _s(_bits(data, 25, 12), 12) * 16
+        return [f"  {name}: track {track:.1f} deg gs {gs:.1f} kt"
+                f" vr {vr} ft/min"]
+    if tag == 14:
+        hdg = _bits(data, 0, 12) * (360.0 / 4096.0)
+        mach = _bits(data, 12, 13) * 0.0005
+        vr = _s(_bits(data, 25, 12), 12) * 16
+        return [f"  {name}: heading {hdg:.1f} deg mach {mach:.3f}"
+                f" vr {vr} ft/min"]
+    if tag == 15:
+        wspd = _bits(data, 0, 9) * 0.25
+        wdir = _bits(data, 9, 9) * (360.0 / 512.0)
+        temp = _s(_bits(data, 18, 12), 12) * 0.25
+        return [f"  {name}: wind {wspd:.1f} kt @ {wdir:.1f} deg"
+                f" temp {temp:.2f} C"]
+    if tag == 16:
+        return [f"  airframe id: {data[:3].hex().upper()}"]
+    if tag == 17:
+        dist = _bits(data, 0, 16) * 0.125
+        track = _bits(data, 16, 12) * (360.0 / 4096.0)
+        alt = _s(_bits(data, 28, 16), 16) * 4
+        eta = _bits(data, 44, 16)
+        return [f"  {name}: dist {dist:.1f} nm track {track:.1f} deg"
+                f" alt {alt} ft eta {eta} s"]
+    if tag == 22:
+        r = parse_basic_report(data[:8] + b"\0\0")
+        eta = _bits(data, 58, 16)
+        return [f"  {name}: lat {r.lat:.7f} lon {r.lon:.7f}"
+                f" alt {r.alt} ft eta {eta} s"]
+    return [f"  {name}: {data.hex()}"]
+
+
+def parse_adsc_downlink(payload: bytes) -> ArincNode | None:
+    """Walk every tag group of an ADS-C downlink message.
+
+    The position comes from the FIRST basic report among tags
+    7/9/10/18/19/20 wherever it sits (the reference walks the whole tag
+    list, arincpos.c:153-164); all recognised groups become text lines.
+    Returns None when no tag is recognised at all.
+    """
+    node = ArincNode(app="adsc", lines=["ADS-C message:"])
+    i, n = 0, len(payload)
+    recognised = 0
     while i < n:
-        tag = data[i]
-        if tag in BASIC_REPORT_TAGS and i + 9 <= n:
-            lat_raw = (data[i + 1] << 13) | (data[i + 2] << 5) | (data[i + 3] >> 3)
-            lon_raw = (
-                ((data[i + 3] & 0x7) << 18)
-                | (data[i + 4] << 10)
-                | (data[i + 5] << 2)
-                | (data[i + 6] >> 6)
-            )
-            lat = _s21(lat_raw) * (180.0 / (1 << 20))
-            lon = _s21(lon_raw) * (180.0 / (1 << 20))
-            alt_raw = ((data[i + 6] & 0x3F) << 10) | (data[i + 7] << 2) | (data[i + 8] >> 6)
-            if alt_raw & (1 << 15):
-                alt_raw -= 1 << 16
-            alt = alt_raw * 4
-            node.lat, node.lon, node.alt = lat, lon, alt
+        tag = payload[i]
+        entry = DOWNLINK_TAGS.get(tag)
+        if entry is None:
             node.lines.append(
-                f"ADS-C {BASIC_REPORT_TAGS[tag]} report: "
-                f"lat {lat:.4f} lon {lon:.4f} alt {alt} ft"
+                f"  unknown tag {tag}: {payload[i + 1:].hex()}"
             )
-            found = True
             break
-        # unknown tag: cannot reliably skip without the full tag table;
-        # bail to stay safe
-        break
-    return node if found else None
+        name, length = entry
+        if length is None:
+            length = n - i - 1                 # variable: rest of message
+        if i + 1 + length > n:
+            node.lines.append(f"  truncated {name}")
+            break
+        data = payload[i + 1 : i + 1 + length]
+        recognised += 1
+        node.lines.extend(_group_lines(tag, name, data))
+        if tag in BASIC_REPORT_TAGS and node.lat is None:
+            r = parse_basic_report(data)
+            node.lat, node.lon, node.alt = r.lat, r.lon, r.alt
+        i += 1 + length
+    return node if recognised else None
+
+
+def parse_cpdlc_downlink(payload: bytes) -> ArincNode | None:
+    """FANS-1/A ATCDownlinkMessage -> node (+ DM48 position when present)."""
+    try:
+        msg = fans.decode_downlink(payload)
+    except ValueError:
+        return None
+    node = ArincNode(app="cpdlc", lines=["CPDLC downlink message:"])
+    hdr = f"  msg id {msg.msg_id}"
+    if msg.msg_ref is not None:
+        hdr += f" ref {msg.msg_ref}"
+    if msg.timestamp is not None:
+        hdr += " ts {:02d}:{:02d}:{:02d}".format(*msg.timestamp)
+    node.lines.append(hdr)
+    for el in msg.elements:
+        if isinstance(el, fans.UnsupportedElement):
+            node.lines.append(f"  DM{el.index} (not decoded)")
+            continue
+        if el.position is None:
+            node.lines.append("  DM48 position report (position not lat/lon)")
+            continue
+        a = el.altitude
+        node.lines.append(
+            f"  DM48 position report: lat {el.position.lat:.7f}"
+            f" lon {el.position.lon:.7f} at {el.hours:02d}:{el.minutes:02d}"
+        )
+        node.lines.append(
+            f"    altitude: {a.encoding}={a.value} ({a.feet} ft)"
+        )
+    rpt = fans.find_dm48(msg)
+    if rpt is not None:
+        node.lat = rpt.position.lat
+        node.lon = rpt.position.lon
+        node.alt = rpt.altitude.feet
+    return node
 
 
 def extract_sublabel_mfi(label: str, text: str) -> tuple[str, str, int]:
@@ -110,40 +264,103 @@ def extract_sublabel_mfi(label: str, text: str) -> tuple[str, str, int]:
     return sub, mfi, off
 
 
+CPDLC_IMIS = ("AT1", "CR1", "CC1", "DR1")
+
+
+def crc16_ccitt(data: bytes, init: int = 0xFFFF) -> int:
+    """CRC-16/CCITT-FALSE (poly 0x1021, MSB-first) over the ARINC-622
+    IMI + registration + application data."""
+    crc = init
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) if crc & 0x8000 else (crc << 1)
+            crc &= 0xFFFF
+    return crc
+
+
+def _unwrap_payload(imi: str, reg: str, hextext: str):
+    """Hex payload -> (app data bytes, crc_ok).  None when not valid hex."""
+    hexs = "".join(ch for ch in hextext if ch not in " \r\n")
+    if len(hexs) < 6 or len(hexs) % 2:
+        return None
+    try:
+        blob = bytes.fromhex(hexs)
+    except ValueError:
+        return None
+    data, trailer = blob[:-2], blob[-2:]
+    want = crc16_ccitt((imi + reg).encode("latin-1") + data)
+    crc_ok = want in (
+        int.from_bytes(trailer, "big"),
+        int.from_bytes(trailer, "little"),
+    )
+    return data, crc_ok
+
+
 def arinc_decode(text: str, label: str, bid: str, oooi) -> ArincNode | None:
     """arincdecode equivalent (arincpos.c:120-216).
 
     Returns a node for recognised ATS applications and fills oooi with any
-    extracted position, else None.
+    extracted position, else None.  Direction: digit block id = downlink
+    (arincpos.c:130-133); uplink payloads are labelled but not decoded
+    (position extraction only ever reads downlink reports).
     """
     if not text:
         return None
-    lib = _try_libacars()
-    if lib is not None:
-        # full-fidelity path intentionally minimal: the environment used for
-        # CI has no libacars; when present, a future revision can bind the
-        # full decode tree.  Fall through to native subset for position.
-        pass
+    downlink = "0" <= bid <= "9"
 
-    # ARINC-622 addressing header: "/<7-char addr>.<app>.<reg><payload>"
     body = text
     if label == "H1":
         _, _, off = extract_sublabel_mfi(label, text)
         body = text[off:]
-    if body.startswith("/") and len(body) > 12 and body[8] == ".":
-        app = body[9:12]
-        if app == "ADS":
-            payload = body[12:].encode("latin-1", errors="ignore")
-            # skip the 7-char registration that follows the app id
-            payload = payload[7:]
-            node = parse_adsc_basic(payload)
-            if node is not None:
-                oooi.lat = node.lat
-                oooi.lon = node.lon
-                oooi.epu = 1
-                if node.alt and node.alt > 0:
-                    oooi.alt = node.alt
-            return node
+    if not (body.startswith("/") and len(body) > 19 and body[8] == "."):
+        return None
+    imi = body[9:12]
+    if imi != "ADS" and imi not in CPDLC_IMIS:
+        return None
+    reg = body[12:19]                  # 7 chars, dot-padded on the left
+    unwrapped = _unwrap_payload(imi, reg, body[19:])
+    if unwrapped is None:
+        return None
+    payload, crc_ok = unwrapped
+
+    if imi == "ADS":
+        if not downlink:
+            return ArincNode(
+                app="adsc",
+                lines=[f"ADS-C uplink (contract request), "
+                       f"{len(payload)} bytes"],
+            )
+        node = parse_adsc_downlink(payload)
+        if node is not None and not crc_ok:
+            node.lines.append("  crc mismatch (decoded anyway)")
+        if node is not None and node.lat is not None:
+            # arincpos.c:165-170: epu flags a valid position; alt is
+            # copied unconditionally from the basic report
+            oooi.epu = 1
+            oooi.lat = node.lat
+            oooi.lon = node.lon
+            oooi.alt = node.alt
+        return node
+    if imi in CPDLC_IMIS:
+        if imi != "AT1":
+            return ArincNode(app="cpdlc", lines=[f"CPDLC {imi} message"])
+        if not downlink:
+            return ArincNode(
+                app="cpdlc",
+                lines=[f"CPDLC uplink message, {len(payload)} bytes"],
+            )
+        node = parse_cpdlc_downlink(payload)
+        if node is not None and not crc_ok:
+            node.lines.append("  crc mismatch (decoded anyway)")
+        if node is not None and node.lat is not None:
+            # arincpos.c:111-116: lat/lon always; alt only when positive
+            oooi.epu = 1
+            oooi.lat = node.lat
+            oooi.lon = node.lon
+            if node.alt and node.alt > 0:
+                oooi.alt = node.alt
+        return node
     return None
 
 
