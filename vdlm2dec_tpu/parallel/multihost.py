@@ -1,0 +1,232 @@
+"""Multi-host decode: jax.distributed + a global (chan, time) mesh over DCN.
+
+The reference is single-host by construction (pthread barriers,
+vdlm2.h:85); this module is the framework's scale-out axis and makes the
+SCALING.md cost model executable:
+
+  * channels shard over each host's local devices ("chan" rides ICI);
+  * time blocks shard ACROSS hosts ("time" rides DCN) — the only
+    cross-host traffic is the 84 kHz halo exchange at each seam
+    (HALO_LEFT + one burst window) plus the packed candidate rows;
+  * every host keeps only its own time slice of the input (channelized
+    locally, period-aligned) and emits frames for triggers inside its
+    own shards — per-host output streams, no global gather.
+
+Worker entry (one process per host):
+
+    python -m vdlm2dec_tpu.parallel.multihost \
+        --coordinator host0:9911 --num-processes 2 --process-id $I \
+        --iq capture.cu8 --fc 136900000 136.975 136.875 ...
+
+launch_local(n) spawns N such workers on this machine (4 virtual CPU
+devices each) for testing without a cluster; tests/test_multihost.py
+proves a burst whose halo crosses the process boundary decodes
+bit-identically to a single-process run of the same mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
+    """jax.distributed bring-up (idempotent)."""
+    import jax
+
+    if num_processes > 1 or coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def global_mesh(n_chan: int, n_time: int):
+    """(chan, time) mesh over ALL processes' devices, laid out so the chan
+    axis stays within a host (ICI) and the time axis advances across
+    hosts (DCN): jax.devices() orders by process id, so time-major
+    re-gridding puts each host's devices in consecutive time columns."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    assert devs.size >= n_chan * n_time, (
+        f"need {n_chan * n_time} devices, have {devs.size}"
+    )
+    grid = devs[: n_chan * n_time].reshape(n_time, n_chan).T
+    return Mesh(grid, axis_names=("chan", "time"))
+
+
+class MultiHostDecoder:
+    """Packed sharded decode where the time axis spans processes.
+
+    decode_local(y_local): y_local is THIS process's (C, T_local, 2)
+    decimated slice (T_local = T_global / n_processes, divisible by the
+    per-host time-shard count).  Returns the candidate dicts whose
+    triggers live in this host's shards, with global chan/t0.
+    """
+
+    def __init__(self, mesh, max_candidates: int = 8,
+                 max_symbols: int = 1024, max_out: int = 64):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from .sharding import packed_decode_step
+
+        self.mesh = mesh
+        self._spec = P("chan", "time", None)
+        self._step = jax.jit(
+            jax.shard_map(
+                packed_decode_step(max_candidates, max_symbols, max_out),
+                mesh=mesh,
+                in_specs=(self._spec,),
+                out_specs=P(("chan", "time"), None),
+            )
+        )
+
+    def decode_local(self, y_local: np.ndarray) -> list[dict]:
+        from jax.experimental import multihost_utils
+
+        from ..ops.demod import pack_complex
+        from ..pipeline import unpack_results
+
+        if np.iscomplexobj(y_local):
+            y_local = pack_complex(y_local)
+        g = multihost_utils.host_local_array_to_global_array(
+            np.asarray(y_local, dtype=np.float32), self.mesh, self._spec
+        )
+        out = self._step(g)
+        rows = [np.asarray(s.data) for s in out.addressable_shards]
+        if not rows:
+            return []
+        return unpack_results(np.concatenate(rows, axis=0))
+
+
+# -- worker --------------------------------------------------------------------
+def _worker_main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="vdlm2t-multihost",
+        description="one per-host worker of a multi-host decode job",
+    )
+    ap.add_argument("freqs", nargs="*", type=float, help="frequencies in MHz")
+    ap.add_argument("--coordinator", default="")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--chan-shards", type=int, default=1)
+    ap.add_argument("--time-shards", type=int, default=0,
+                    help="global time shards (default: all devices / chan)")
+    ap.add_argument("--iq", default=None, help="cu8 capture (shared path)")
+    ap.add_argument("--y-npy", default=None,
+                    help="decimated (C, T) complex .npy (test input)")
+    ap.add_argument("--fs", type=int, default=2_000_000)
+    ap.add_argument("--fc", type=float, default=None)
+    ap.add_argument("--max-candidates", type=int, default=8)
+    ap.add_argument("--max-symbols", type=int, default=256)
+    ap.add_argument("--max-out", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # this environment's sitecustomize registers a TPU plugin that
+        # overrides the env var; only the config update takes effect
+        jax.config.update("jax_platforms", "cpu")
+    initialize(args.coordinator, args.num_processes, args.process_id)
+
+    n_dev = len(jax.devices())
+    n_time = args.time_shards or (n_dev // args.chan_shards)
+    mesh = global_mesh(args.chan_shards, n_time)
+    t_shards_per_host = n_time // args.num_processes
+    assert t_shards_per_host * args.num_processes == n_time, (
+        "time shards must divide evenly across processes"
+    )
+
+    if args.y_npy is not None:
+        y = np.load(args.y_npy)                      # (C, T) complex
+        t_local = y.shape[1] // args.num_processes
+        lo = args.process_id * t_local
+        y_local = y[:, lo : lo + t_local]
+        freqs_hz = [0.0] * y.shape[0]
+    else:
+        from ..io.sdr import CaptureReader, choose_fc
+        from ..ops.channelizer import Channelizer
+
+        freqs_hz = [f * 1e6 for f in args.freqs]
+        fc = args.fc if args.fc is not None else choose_fc(
+            [int(f) for f in freqs_hz], args.fs
+        )
+        reader = CaptureReader(args.iq, "cu8")
+        ch = Channelizer([f - fc for f in freqs_hz], fs=args.fs)
+        # local time slice on exact channelizer-period boundaries
+        periods = len(reader) // ch.p_in
+        per_host = periods // args.num_processes
+        per_host -= per_host % t_shards_per_host
+        lo_p = args.process_id * per_host
+        x = reader.read(lo_p * ch.p_in, per_host * ch.p_in)
+        y_local = np.asarray(ch(x, period0=lo_p))    # (C, T_local, 2)
+
+    dec = MultiHostDecoder(
+        mesh,
+        max_candidates=args.max_candidates,
+        max_symbols=args.max_symbols,
+        max_out=args.max_out,
+    )
+    cands = dec.decode_local(y_local)
+
+    from ..pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(
+        freqs_hz=freqs_hz or [136_975_000.0],
+        fs=args.fs, fc_hz=args.fc or 0.0,
+        max_symbols=args.max_symbols,
+    ))
+    for b in pipe._finish(cands, t_offset=0):
+        for fr in b.frames:
+            print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}", flush=True)
+    print(f"DONE {args.process_id} {len(cands)}", flush=True)
+    return 0
+
+
+# -- local test launcher ---------------------------------------------------------
+def launch_local(num_processes: int, worker_args: list[str],
+                 local_devices: int = 4, timeout: float = 600.0):
+    """Spawn num_processes workers on this machine (virtual CPU devices),
+    returning each process's stdout.  The DCN path is real: processes talk
+    through the jax.distributed service + Gloo collectives."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={local_devices}"
+        ).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "vdlm2dec_tpu.parallel.multihost",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(num_processes),
+             "--process-id", str(pid)] + worker_args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"worker failed ({p.returncode}):\n{err.decode()[-2000:]}"
+            )
+        outs.append(out.decode())
+    return outs
+
+
+if __name__ == "__main__":
+    sys.exit(_worker_main())

@@ -200,6 +200,40 @@ class ShardedWidebandDecoder:
         return unpack_results(np.asarray(res))
 
 
+def packed_decode_step(max_candidates: int, max_symbols: int, max_out: int):
+    """shard_map body shared by the single-host and multi-host decoders:
+    local (C_local, T_local, 2) decimated block -> packed candidate rows,
+    with halo exchange along "time" (ICI within a host, DCN across hosts)
+    and global chan/t0 baked into the row meta."""
+    right = burst_window(max_symbols)
+
+    def step(y):
+        from ..pipeline import _device_decode_packed
+
+        t_local = y.shape[1]
+        c_local = y.shape[0]
+        y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
+        shard = jax.lax.axis_index("time")
+        chan_base = jax.lax.axis_index("chan") * c_local
+        buf = _device_decode_packed(
+            y_ext, max_candidates, max_symbols, max_out,
+            chan_base=chan_base,
+            core_start=HALO_LEFT, core_len=t_local,
+        )
+        shard_off = (shard * t_local).astype(jnp.int32)
+        meta_t0 = jax.lax.bitcast_convert_type(
+            buf[:, 2052:2056], jnp.int32
+        ) + shard_off
+        t0_u8 = jax.lax.bitcast_convert_type(
+            meta_t0[:, None], jnp.uint8
+        ).reshape(-1, 4)
+        return jnp.concatenate(
+            [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
+        )
+
+    return step
+
+
 @dataclass
 class ShardedDecoder:
     """Jitted sharded decode step over a (chan, time) mesh.
@@ -216,36 +250,12 @@ class ShardedDecoder:
     max_out: int = 64
 
     def __post_init__(self):
-        mc, ms = self.max_candidates, self.max_symbols
-        right = burst_window(ms)
-
-        def step(y):
-            from ..pipeline import _device_decode_packed
-
-            t_local = y.shape[1]
-            c_local = y.shape[0]
-            y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
-            shard = jax.lax.axis_index("time")
-            chan_base = jax.lax.axis_index("chan") * c_local
-            buf = _device_decode_packed(
-                y_ext, mc, ms, self.max_out,
-                chan_base=chan_base,
-                core_start=HALO_LEFT, core_len=t_local,
-            )
-            shard_off = (shard * t_local).astype(jnp.int32)
-            meta_t0 = jax.lax.bitcast_convert_type(
-                buf[:, 2052:2056], jnp.int32
-            ) + shard_off
-            t0_u8 = jax.lax.bitcast_convert_type(
-                meta_t0[:, None], jnp.uint8
-            ).reshape(-1, 4)
-            return jnp.concatenate(
-                [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
-            )
-
         self._step = jax.jit(
             jax.shard_map(
-                step, mesh=self.mesh,
+                packed_decode_step(
+                    self.max_candidates, self.max_symbols, self.max_out
+                ),
+                mesh=self.mesh,
                 in_specs=(P("chan", "time", None),),
                 out_specs=P(("chan", "time"), None),
             )
