@@ -13,3 +13,10 @@ echo "built $OUT"
 cc -O2 -DWITH_AIR -I"$REF" "$(dirname "$0")/shim_air.c" $SRCS \
     -lm -lpthread -o "${OUT}_air"
 echo "built ${OUT}_air"
+D=$(dirname "$0")
+cc -O2 -DWITH_RTL -DSHIM_RTL -I"$D/fakeinc" -I"$REF" \
+    "$D/shim_choosefc.c" -lm -lpthread -o "${OUT%_shim}_shim_choosefc_rtl"
+echo "built ${OUT%_shim}_shim_choosefc_rtl"
+cc -O2 -DWITH_AIR -DSHIM_AIR -I"$D/fakeinc" -I"$REF" \
+    "$D/shim_choosefc.c" -lm -lpthread -o "${OUT%_shim}_shim_choosefc_air"
+echo "built ${OUT%_shim}_shim_choosefc_air"

@@ -52,13 +52,85 @@ def choose_fc(freqs_hz: list[int], fs: int = 2_000_000) -> int:
     raise ValueError("No usable center frequency")
 
 
+# R820T2 IF-filter corner tables (air.c:44-45): achievable high-pass and
+# low-pass corner frequencies in Hz
+R820T_HF = (1953050, 1980748, 2001344, 2032592, 2060291, 2087988)
+R820T_LF = (525548, 656935, 795424, 898403, 1186034, 1502073, 1715133,
+            1853622)
+
+
+def airspy_r2_if_filter(bw: int) -> tuple[int, int, int, int, int] | None:
+    """R820T2 IF-filter selection for the Airspy R2 at 5 Msps
+    (air.c:53-66): the widest high-pass corner i that still passes bw, the
+    narrowest low-pass corner j that does not, and the resulting center-
+    frequency offset that places the span mid-filter.  Returns
+    (i, j, fc_offset, reg10, reg11); None when the span cannot fit (the
+    reference returns Fc=0 -> 'Frequencies too far apart')."""
+    for i in range(7, -1, -1):
+        if R820T_HF[5] - R820T_LF[i] >= bw:
+            break
+    else:
+        return None
+    for j in range(5, -1, -1):
+        if R820T_HF[j] - R820T_LF[i] <= bw:
+            break
+    else:
+        j = -1
+    j += 1
+    j = min(j, 5)            # the reference would read past the table here
+    off = (R820T_HF[j] + R820T_LF[i]) // 2 - 5_000_000 // 4
+    return i, j, off, 0xB0 | (15 - j), 0xE0 | (15 - i)
+
+
 def choose_fc_airspy(freqs_hz: list[int], fs: int) -> int:
-    """Airspy center choice (air.c:47-70) without the R820T2 IF-register
-    tuning side effects (no hardware here): center of the span rounded to
-    the 25 kHz raster.
-    """
+    """Airspy center choice (air.c:47-70): center of the span rounded to
+    the 25 kHz raster; at 5 Msps (R2) shifted by the R820T2 IF-filter
+    centering offset so the whole span sits inside the analog filter."""
     lo, hi = min(freqs_hz), max(freqs_hz)
-    return ((lo + hi) // 2 + STEPRATE // 2) // STEPRATE * STEPRATE
+    off = 0
+    if fs == 5_000_000:
+        sel = airspy_r2_if_filter(hi - lo + 2 * STEPRATE)
+        if sel is None:
+            raise ValueError("Frequencies too far apart")
+        off = sel[2]
+    return ((lo + hi) // 2 + off + STEPRATE // 2) // STEPRATE * STEPRATE
+
+
+def nearest_gain(target_tenths: int, gains: list[int]) -> int:
+    """Snap a requested gain (tenths of dB) to the tuner's supported list
+    (nearest_gain, rtl.c:162-184; first-wins on ties like the reference)."""
+    if not gains:
+        return 0
+    close = gains[0]
+    for g in gains:
+        if abs(target_tenths - g) < abs(target_tenths - close):
+            close = g
+    return close
+
+
+def match_device(spec: str, serials: list[str]) -> int:
+    """Device-selection string matching (verbose_device_search,
+    rtl.c:47-121): raw index, then exact serial, then prefix, then suffix
+    match; -1 when nothing matches."""
+    import re
+
+    # strtol(s, &s2, 0) semantics incl. octal/hex prefixes, full consume
+    m = re.fullmatch(r"[+-]?(0[xX][0-9a-fA-F]+|0[0-7]*|[1-9][0-9]*)", spec)
+    if m:
+        idx = int(spec, 0) if not re.fullmatch(r"[+-]?0[0-7]+", spec) \
+            else int(spec, 8)
+        if 0 <= idx < len(serials):
+            return idx
+    for i, s in enumerate(serials):
+        if spec == s:
+            return i
+    for i, s in enumerate(serials):
+        if s.startswith(spec):
+            return i
+    for i, s in enumerate(serials):
+        if s.endswith(spec):
+            return i
+    return -1
 
 
 def read_capture(path: str, fmt: str, count: int = -1, offset: int = 0) -> np.ndarray:
