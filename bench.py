@@ -1,13 +1,25 @@
 """Benchmark: wideband IQ decode throughput on one chip.
 
 Measures the full device pipeline (channelizer -> polyphase filter -> sync
-scan -> candidate demod -> header -> assembly -> RS) on a realistic 2 Msps /
-8-channel VDL-M2 load (the reference's maximum configuration, which it
-decodes in real time on a CPU: 2.0 Msamples/s).  Host->device transfer of
-the raw IQ block is included in the timed loop.
+scan -> candidate demod -> header -> assembly -> RS) on a realistic 2 Msps
+VDL-M2 load.  Host->device transfer of the raw IQ block is included in the
+timed loop.  The default run times three configs:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * 8 channels  (the reference's maximum, which it decodes in real time on
+    a CPU at 2.0 Msamples/s) — the headline metric;
+  * 64 channels (8x the reference's capability in one program);
+  * 76 channels at 25 kHz spacing — the FULL usable 2 MHz span (the
+    chooseFc constraint |fc-f| <= fs/2 - 2*STEP caps the span at 1.9 MHz,
+    i.e. 76 channels).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline = achieved Msamples/s / 2.0 (the reference's real-time rate).
+extra carries the scale configs as channel-realtime equivalents
+(channels * msps / 2.0 = how many reference instances one chip replaces).
+
+--analysis adds per-stage device timings and roofline proxies (pure-matmul
+and HBM-copy microbenchmarks) — opt-in because each stage is a separate
+compile (minutes each on the tunneled TPU link).
 """
 from __future__ import annotations
 
@@ -19,18 +31,21 @@ import time
 import numpy as np
 
 
-def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
-    """Wideband capture with periodic bursts on every channel.
+def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
+                 spacing: int = 50_000, active_every: int = 1):
+    """Wideband capture with periodic bursts on every active_every-th
+    channel (sync/filter cost is per-channel regardless of traffic, so
+    sparse activity keeps large-channel-count synthesis affordable).
 
-    Synthesis is pure-host and costs ~1 min for 2 s x 8 channels, so the
-    result is cached on disk keyed by parameters (repeated/driver runs skip
-    straight to the decode)."""
+    Synthesis is pure-host and slow, so the result is cached on disk keyed
+    by parameters (repeated/driver runs skip straight to the decode)."""
     import os
     import tempfile
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench_{fs}_{n_channels}_{seconds}_{seed}.npz",
+        f"vdlm2_bench_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"{active_every}.npz",
     )
     if os.path.exists(cache):
         try:
@@ -44,13 +59,18 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
     from vdlm2dec_tpu.constants import DEMOD_RATE
 
     rng = np.random.default_rng(seed)
-    freqs = [136_600_000 + 25_000 * (2 * i) for i in range(n_channels)]
-    fc = 136_487_500
+    base = 136_600_000 if n_channels <= 32 else 136_050_000
+    freqs = [base + spacing * i for i in range(n_channels)]
+    fc = (min(freqs) + max(freqs)) // 2 - 287_500
+    if max(abs(fc - f) for f in freqs) > fs // 2 - 50_000:
+        fc = (min(freqs) + max(freqs)) // 2 - 12_500
     total_wide = int(fs * seconds)
     total_bb = int(DEMOD_RATE * seconds)
     wide = np.zeros(total_wide, dtype=np.complex128)
     n_bursts = 0
     for ci, f in enumerate(freqs):
+        if ci % active_every:
+            continue
         bb = np.zeros(total_bb, dtype=np.complex128)
         pos = 500 + 977 * ci
         while pos + 3000 < total_bb:
@@ -72,6 +92,204 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0):
     return wide, freqs, fc, n_bursts
 
 
+def to_u8(wide: np.ndarray) -> np.ndarray:
+    from vdlm2dec_tpu.io.sdr import RTL_DC_OFFSET
+
+    inter = np.empty(2 * len(wide), dtype=np.float32)
+    inter[0::2] = wide.real + RTL_DC_OFFSET
+    inter[1::2] = wide.imag + RTL_DC_OFFSET
+    return np.clip(np.round(inter), 0, 255).astype(np.uint8)
+
+
+def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
+               max_candidates: int | None, pallas: bool,
+               spacing: int = 50_000, active_every: int = 1,
+               profile_dir: str | None = None) -> dict:
+    """Time the pipelined u8 fast path on one config; returns stats."""
+    import jax
+
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig, PipelinedDecoder
+
+    fs = 2_000_000
+    wide, freqs, fc, n_bursts = make_capture(
+        fs, channels, seconds, spacing=spacing, active_every=active_every)
+    max_cand = max_candidates or max(16, int(16 * seconds))
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs],
+        fs=fs,
+        fc_hz=float(fc),
+        lo_wrap=False,
+        max_candidates=max_cand,
+        max_symbols=max_symbols,
+        use_pallas=pallas,
+        # decode slots sized for dense traffic (~11 bursts/s/channel at
+        # median burst length) rather than channels x sync slots
+        max_out=max(64, int(11 * seconds * channels // max(active_every, 1))),
+    )
+    pipe = Pipeline(cfg)
+    align = pipe.channelizer.p_in * (32 if pallas else 1)
+    t = len(wide) - len(wide) % align
+    raw_u8 = to_u8(wide[:t])
+
+    # correctness sanity + warm-up compile of the exact timed program
+    cands = pipe.decode_wideband_u8(raw_u8)
+    bursts = pipe._finish(cands, 0)
+    n_frames = sum(len(b.frames) for b in bursts)
+    print(
+        f"# [{channels}ch] sanity: {n_bursts} bursts synthesized, "
+        f"{n_frames} frames decoded ({len(cands)} candidates)",
+        file=sys.stderr,
+    )
+
+    # pipelined loop: a fetch thread one block behind the dispatcher
+    # overlaps transfers with device compute (production streaming shape)
+    pd = PipelinedDecoder(pipe)
+    n_res = 0
+    profile_cm = jax.profiler.trace(profile_dir) if profile_dir else None
+    if profile_cm:
+        profile_cm.__enter__()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for _cands in pd.submit(raw_u8):
+            n_res += 1
+    for _cands in pd.drain():
+        n_res += 1
+    dt = time.perf_counter() - t0
+    if profile_cm:
+        profile_cm.__exit__(None, None, None)
+    assert n_res == iters
+
+    msps = t * iters / dt / 1e6
+    # one chip replaces this many real-time reference instances at this
+    # channel count (the reference handles <=8 channels at 2 Msps)
+    chan_rt = channels * msps / 2.0
+    print(
+        f"# [{channels}ch] {dt:.3f}s for {iters} x {t} samples: "
+        f"{msps:.1f} Msps = {chan_rt:.0f} channel-realtime equivalents",
+        file=sys.stderr,
+    )
+    return {"channels": channels, "msps": round(msps, 2),
+            "channel_realtime_equivalents": round(chan_rt, 0),
+            "frames": n_frames, "bursts": n_bursts}
+
+
+def run_analysis(seconds: float, iters: int, max_symbols: int,
+                 pallas: bool) -> dict:
+    """Per-stage device timing + roofline proxies.  Each stage is jitted
+    separately (own compile); timings are fetch-to-fetch on the real link,
+    so they include the transfer of each stage's (small) probe output."""
+    import jax
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.ops.demod import (
+        find_triggers,
+        phase_of,
+        polyphase_filter,
+        sync_scan,
+    )
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+    fs = 2_000_000
+    wide, freqs, fc, _ = make_capture(fs, 8, seconds)
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
+        lo_wrap=False, max_candidates=16, max_symbols=max_symbols,
+        use_pallas=pallas, max_out=128,
+    )
+    pipe = Pipeline(cfg)
+    t = len(wide) - len(wide) % pipe.channelizer.p_in
+    y = np.asarray(pipe.channelizer(wide[:t]))       # (C, T84, 2)
+    yj = jnp.asarray(y)
+    raw_u8 = to_u8(wide[:t])
+
+    def timed(name, fn, *args, n=max(2, iters // 2)):
+        r = fn(*args)                                # compile + warm
+        jax.block_until_ready(r)
+        _ = np.asarray(r)                            # force (lazy backend)
+        t0 = time.perf_counter()
+        for _i in range(n):
+            _ = np.asarray(fn(*args))
+        dt = (time.perf_counter() - t0) / n
+        print(f"# stage {name:24s} {dt * 1e3:9.2f} ms", file=sys.stderr)
+        return dt
+
+    stages = {}
+    # stage probes return small reductions so fetch cost is the link floor
+    chan_fn = jax.jit(lambda x: pipe.channelizer(x)[:, ::997].sum())
+    stages["channelize"] = timed("channelize", chan_fn,
+                                 jnp.asarray(np.stack([wide[:t].real,
+                                                       wide[:t].imag], -1)))
+    filt_fn = jax.jit(lambda v: polyphase_filter(v)[:, 0, ::997].sum())
+    stages["polyphase_filter"] = timed("polyphase_filter", filt_fn, yj)
+
+    def sync_fn(v):
+        f = polyphase_filter(v)
+        err, fr = sync_scan(phase_of(f[:, 0]))
+        t0_, of, df, valid = find_triggers(err, fr, 16)
+        return t0_.sum() + valid.sum()
+
+    stages["filter+sync_scan"] = timed("filter+sync_scan", jax.jit(sync_fn), yj)
+
+    from vdlm2dec_tpu.pipeline import _device_decode_packed_jit
+
+    def full_fn(v):
+        return _device_decode_packed_jit(v, 16, max_symbols, 128)
+
+    stages["full_decode_packed"] = timed("full_decode_packed", full_fn, yj)
+    u8_fn = lambda r: pipe.decode_wideband_u8(r)     # noqa: E731
+    r0 = pipe.decode_wideband_u8(raw_u8)             # warm
+    t0 = time.perf_counter()
+    for _i in range(max(2, iters // 2)):
+        pipe.decode_wideband_u8(raw_u8)
+    stages["fused_u8_end_to_end"] = (
+        (time.perf_counter() - t0) / max(2, iters // 2))
+    print(f"# stage {'fused_u8_end_to_end':24s} "
+          f"{stages['fused_u8_end_to_end'] * 1e3:9.2f} ms", file=sys.stderr)
+
+    # burst stages = full - (filter + sync); channelizer separate
+    burst_s = stages["full_decode_packed"] - stages["filter+sync_scan"]
+    print(f"# stage {'burst stages (derived)':24s} {burst_s * 1e3:9.2f} ms",
+          file=sys.stderr)
+
+    # roofline proxies on the same device
+    k = 4096
+    a = jnp.ones((k, k), jnp.float32)
+    mm = jax.jit(lambda a: (a @ a)[::1024, ::1024].sum())
+    r = mm(a); jax.block_until_ready(r); _ = np.asarray(r)
+    t0 = time.perf_counter()
+    for _i in range(4):
+        _ = np.asarray(mm(a))
+    mm_dt = (time.perf_counter() - t0) / 4
+    matmul_flops = 2 * k**3 / mm_dt
+    big = jnp.ones((256, 1 << 20), jnp.float32)      # 1 GiB
+    cp = jax.jit(lambda b: (b * 1.0000001).sum())
+    r = cp(big); jax.block_until_ready(r); _ = np.asarray(r)
+    t0 = time.perf_counter()
+    for _i in range(4):
+        _ = np.asarray(cp(big))
+    cp_dt = (time.perf_counter() - t0) / 4
+    hbm_bw = 2 * big.size * 4 / cp_dt                # read + write
+
+    # channelizer arithmetic per wideband sample (C channels):
+    #   mix 12 flops/chan + aggregate matmul 4*P_out flops per period/P_in
+    c = len(freqs)
+    p_out = pipe.channelizer.p_out
+    # mix: two complex mults = 12 flops per (chan, sample); aggregate
+    # matmul: 4*P_in*P_out flops per period = 4*P_out per (chan, sample)
+    chan_flops_per_s = c * fs * (12 + 4 * p_out)
+    achieved = chan_flops_per_s * (t / fs) / stages["channelize"]
+    ana = {
+        "stage_ms": {kk: round(v * 1e3, 2) for kk, v in stages.items()},
+        "burst_stages_ms": round(burst_s * 1e3, 2),
+        "matmul_peak_gflops": round(matmul_flops / 1e9, 1),
+        "hbm_copy_gbps": round(hbm_bw / 1e9, 1),
+        "channelizer_gflops": round(achieved / 1e9, 1),
+        "channelizer_mfu_vs_matmul_peak": round(achieved / matmul_flops, 4),
+    }
+    print(f"# analysis {json.dumps(ana)}", file=sys.stderr)
+    return ana
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
@@ -84,97 +302,57 @@ def main():
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="disable the fused Pallas channelizer kernel")
     ap.set_defaults(pallas=True)
+    ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
+                    help="skip the 64/76-channel configs")
+    ap.set_defaults(scale=True)
+    ap.add_argument("--analysis", action="store_true",
+                    help="per-stage device timings + roofline proxies "
+                         "(several extra compiles)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed loop")
+    ap.add_argument("--budget-s", type=float, default=1500.0,
+                    help="skip remaining configs when past this wall time")
     args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
 
     if args.quick:
         args.seconds, args.iters, args.max_symbols = 0.25, 2, 256
+        args.scale = False
 
-    fs = 2_000_000
-    wide, freqs, fc, n_bursts = make_capture(fs, args.channels, args.seconds)
-
-    max_cand = args.max_candidates or max(16, int(16 * args.seconds))
-    cfg = PipelineConfig(
-        freqs_hz=[float(f) for f in freqs],
-        fs=fs,
-        fc_hz=float(fc),
-        lo_wrap=False,
-        max_candidates=max_cand,
-        max_symbols=args.max_symbols,
-        use_pallas=args.pallas,
-        # decode slots sized for dense traffic (~11 bursts/s/channel at
-        # median burst length) rather than channels x sync slots
-        max_out=max(64, int(11 * args.seconds * args.channels)),
+    t_start = time.perf_counter()
+    primary = run_config(
+        args.channels, args.seconds, args.iters, args.max_symbols,
+        args.max_candidates, args.pallas, profile_dir=args.profile,
     )
-    pipe = Pipeline(cfg)
-    align = pipe.channelizer.p_in * (32 if args.pallas else 1)
-    t = len(wide) - len(wide) % align
-    wide = wide[:t]
+    extra: dict = {}
+    if args.scale:
+        for ch, sec, it, sp, act in ((64, 1.0, 4, 50_000, 4),
+                                     (76, 1.0, 4, 25_000, 4)):
+            if time.perf_counter() - t_start > args.budget_s:
+                print(f"# budget exceeded, skipping {ch}ch", file=sys.stderr)
+                continue
+            try:
+                extra[f"scale_{ch}ch"] = run_config(
+                    ch, sec, it, args.max_symbols, args.max_candidates,
+                    args.pallas, spacing=sp, active_every=act,
+                )
+            except Exception as e:          # never lose the primary metric
+                print(f"# {ch}ch config failed: {e}", file=sys.stderr)
+    if args.analysis:
+        try:
+            extra["analysis"] = run_analysis(
+                args.seconds, args.iters, args.max_symbols, args.pallas)
+        except Exception as e:
+            print(f"# analysis failed: {e}", file=sys.stderr)
 
-    # production ingest format: interleaved u8 IQ (2 bytes/sample), converted
-    # on device — the host->device link is the scarce resource
-    from vdlm2dec_tpu.io.sdr import RTL_DC_OFFSET
-
-    inter = np.empty(2 * t, dtype=np.float32)
-    inter[0::2] = wide.real + RTL_DC_OFFSET
-    inter[1::2] = wide.imag + RTL_DC_OFFSET
-    raw_u8 = np.clip(np.round(inter), 0, 255).astype(np.uint8)
-
-    # correctness sanity + warm-up compile of the exact timed program
-    cands = pipe.decode_wideband_u8(raw_u8)
-    bursts = pipe._finish(cands, 0)
-    n_frames = sum(len(b.frames) for b in bursts)
-    print(
-        f"# sanity: {n_bursts} bursts synthesized, {n_frames} frames decoded "
-        f"({len(cands)} candidates)",
-        file=sys.stderr,
-    )
-
-    # pipelined loop: a fetch thread one block behind the dispatcher
-    # overlaps transfers with device compute (production streaming shape)
-    from vdlm2dec_tpu.pipeline import PipelinedDecoder
-
-    pd = PipelinedDecoder(pipe)
-    n_res = 0
-    profile_cm = (
-        jax.profiler.trace(args.profile) if args.profile else None
-    )
-    if profile_cm:
-        profile_cm.__enter__()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        for _cands in pd.submit(raw_u8):
-            n_res += 1
-    for _cands in pd.drain():
-        n_res += 1
-    dt = time.perf_counter() - t0
-    if profile_cm:
-        profile_cm.__exit__(None, None, None)
-    assert n_res == args.iters
-
-    samples_per_s = t * args.iters / dt
-    msps = samples_per_s / 1e6
-    print(
-        f"# {dt:.3f}s for {args.iters} x {t} samples "
-        f"({args.channels} ch): {msps:.1f} Msps",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "wideband_iq_decode_throughput",
-                "value": round(msps, 2),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps / 2.0, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "wideband_iq_decode_throughput",
+        "value": primary["msps"],
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(primary["msps"] / 2.0, 2),
+    }
+    if extra:
+        out["extra"] = extra
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

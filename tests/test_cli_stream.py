@@ -233,3 +233,59 @@ def test_cli_mesh_flag(tmp_path):
     lines = [l for l in log.read_text().splitlines() if l.strip()]
     assert len(lines) == 1
     assert json.loads(lines[0])["text"] == "MESH RUN"
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cf32", "f32real"])
+def test_fused_native_ingest_matches_complex_path(fmt):
+    """The fused device-ingest program for cs16/cf32/f32real produces the
+    same frames as host-side conversion + the complex decode path."""
+    rng = np.random.default_rng(9)
+    fs, freq = 2_000_000, 136_975_000
+    fc = 136_900_000
+    total = 400_000                                  # period-aligned (p_in=2000)
+    contents = [rng.integers(0, 256, 25).astype(np.uint8) for _ in range(2)]
+    bb = np.zeros(total * 84 // 2000, dtype=np.complex128)
+    for st, c in zip((1200, 9000), contents):
+        bb += mod.synthesize_baseband(mod.make_burst([c]), start=st,
+                                      total=len(bb))
+    f0 = fc + fs // 4 if fmt == "f32real" else fc
+    wide = mod.upsample_to_wideband(bb, fs, freq - f0, total=total) * 300
+    wide += (rng.normal(size=total) + 1j * rng.normal(size=total)) * 8
+    if fmt == "f32real":
+        raw = (2 * wide.real).astype(np.float32)     # real capture
+    elif fmt == "cs16":
+        raw = np.empty(2 * total, np.int16)
+        raw[0::2] = np.clip(np.round(wide.real), -32768, 32767)
+        raw[1::2] = np.clip(np.round(wide.imag), -32768, 32767)
+    else:
+        raw = np.empty(2 * total, np.float32)
+        raw[0::2] = wide.real
+        raw[1::2] = wide.imag
+
+    cfg = PipelineConfig(freqs_hz=[float(freq)], fs=fs, fc_hz=float(fc),
+                         real_input=(fmt == "f32real"),
+                         max_symbols=512, max_candidates=8)
+    pipe = Pipeline(cfg)
+    fused = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in pipe.stream_wideband_u8(raw, block_seconds=0.1,
+                                              fmt=fmt)
+        for b in bursts for f in b.frames
+    )
+    assert len(fused) == 2
+
+    # reference path: host conversion -> complex blockwise stream
+    if fmt == "f32real":
+        x = (2 * wide.real).astype(np.float32)
+    elif fmt == "cs16":
+        x = (raw[0::2].astype(np.float32)
+             + 1j * raw[1::2].astype(np.float32)).astype(np.complex64)
+    else:
+        x = wide.astype(np.complex64)
+    pipe2 = Pipeline(cfg)
+    ref = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in pipe2.stream_wideband(x, block_seconds=0.1)
+        for b in bursts for f in b.frames
+    )
+    assert fused == ref

@@ -217,12 +217,15 @@ def main(argv=None) -> int:
     # prev_end restores cross-block burst-span suppression)
     core_raw = pipe.core_raw_samples(args.block_seconds)
     start_block = min(cursor, total_samples) // core_raw
-    if args.format == "cu8" and cfg.lo_wrap and mesh is None:
-        # fast path: raw u8 blocks through the fused pipelined device program
-        raw = np.memmap(args.iq, dtype=np.uint8, mode="r")
+    fused_ok = cfg.lo_wrap and mesh is None and (
+        args.format == "cu8" or not args.pallas)   # Pallas ingest is u8-only
+    if fused_ok:
+        # fast path: native-format raw blocks through the fused pipelined
+        # device program (convert on device, one dispatch+fetch per block)
+        raw = reader.raw
         stream = pipe.stream_wideband_u8(
             raw, block_seconds=args.block_seconds,
-            start_block=start_block, prev_end=prev_end,
+            start_block=start_block, prev_end=prev_end, fmt=args.format,
         )
     else:
         stream = pipe.stream_wideband(

@@ -185,6 +185,12 @@ class CaptureReader:
     def __len__(self) -> int:
         return self.n_samples
 
+    @property
+    def raw(self) -> np.ndarray:
+        """Native-dtype memmap (trimmed to whole samples) — feed this to
+        the fused device-ingest path (pipeline.stream_wideband_u8)."""
+        return self._raw
+
     def read(self, start: int, n: int) -> np.ndarray:
         """Samples [start, start+n); regions outside the capture are zero."""
         s_lo, s_hi = max(start, 0), min(start + n, self.n_samples)

@@ -177,18 +177,22 @@ _device_decode_packed_jit = jax.jit(
 
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
-                        use_pallas: bool = False):
-    """Fused device program: raw interleaved u8 IQ -> packed candidates.
+                        use_pallas: bool = False, fmt: str = "cu8"):
+    """Fused device program: raw wideband IQ -> packed candidates.
 
-    Ships 2 bytes/sample over the host link (the rtl_sdr native format,
-    rtl.c:274-295) and does the u8 -> f32 - 127.37 conversion on device.
-    One dispatch, one fetch.  use_pallas routes the convert+mix+aggregate
-    through the fused VMEM kernel (ops/pallas_channelizer.py).
+    Ships the capture's NATIVE sample format over the host link and
+    converts on device — 2 bytes/sample for cu8 (the rtl_sdr format,
+    rtl.c:274-295, incl. the -127.37 DC offset), 4 for cs16, 8 for cf32,
+    4 for airspy f32real (half rate, imag=0; the fs/4 arrangement is baked
+    into the LO offsets).  One dispatch, one fetch.  use_pallas (cu8 only)
+    routes the convert+mix+aggregate through the fused VMEM kernel
+    (ops/pallas_channelizer.py).
     """
     p_in = lo_r.shape[1]
     b = ph_r.shape[1]
     c = lo_r.shape[0]
     if use_pallas:
+        assert fmt == "cu8", "the Pallas ingest kernel is u8-only"
         from .ops.pallas_channelizer import channelize_u8_pallas
 
         xr = raw.reshape(-1, 2)[:, 0].reshape(b, p_in)
@@ -198,9 +202,15 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
         )                                 # (C, B, 84, 2)
         y = y4.reshape(c, -1, 2)
     else:
-        x = raw.astype(jnp.float32) - dc_offset
-        x_r = x[0::2].reshape(b, p_in)
-        x_i = x[1::2].reshape(b, p_in)
+        if fmt == "f32real":
+            x_r = raw.astype(jnp.float32).reshape(b, p_in)
+            x_i = jnp.zeros_like(x_r)
+        else:
+            x = raw.astype(jnp.float32)
+            if fmt == "cu8":
+                x = x - dc_offset
+            x_r = x[0::2].reshape(b, p_in)
+            x_i = x[1::2].reshape(b, p_in)
         mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
         mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
         zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
@@ -215,8 +225,18 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
 
 _wideband_u8_decode_jit = jax.jit(
     _wideband_u8_decode,
-    static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas"),
+    static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas",
+                     "fmt"),
 )
+
+# samples per LO period -> raw array items per period, and the neutral pad
+# value for margins beyond the capture
+RAW_FMT = {
+    "cu8": (2, 127),
+    "cs16": (2, 0),
+    "cf32": (2, 0.0),
+    "f32real": (1, 0.0),
+}
 
 
 def packed_stats(buf: np.ndarray) -> dict:
@@ -362,20 +382,23 @@ class Pipeline:
                        len(self.cfg.freqs_hz) * self.cfg.max_candidates)
         return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 512)
 
-    def decode_wideband_u8(self, raw: np.ndarray) -> list[dict]:
-        """Fused u8 fast path: interleaved uint8 IQ -> candidate dicts.
+    def decode_wideband_u8(self, raw: np.ndarray, fmt: str = "cu8") -> list[dict]:
+        """Fused fast path: native-format raw IQ -> candidate dicts.
 
-        The whole program (u8 convert + channelize + demod + FEC + packing)
-        is one dispatch; only 2 bytes/sample cross the host->device link.
+        The whole program (format convert + channelize + demod + FEC +
+        packing) is one dispatch; only the capture's native bytes/sample
+        cross the host->device link (2 for cu8, 4 cs16, 8 cf32,
+        4 f32real).
         """
         from .io.sdr import RTL_DC_OFFSET
         from .ops.channelizer import period_phases
 
         ch = self.channelizer
-        t = len(raw) // 2
+        per, _pad = RAW_FMT[fmt]
+        t = len(raw) // per
         align = ch.p_in * (32 if self.cfg.use_pallas else 1)
         t -= t % align
-        raw = raw[: 2 * t]
+        raw = raw[: per * t]
         b = t // ch.p_in
         ph = period_phases(
             ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
@@ -395,6 +418,7 @@ class Pipeline:
             self.cfg.max_symbols,
             self._max_out(),
             self.cfg.use_pallas,
+            fmt,
         ))
         self._observe_packed(buf, _time.perf_counter() - t_start)
         return unpack_results(buf)
@@ -467,21 +491,24 @@ class Pipeline:
 
     def stream_wideband_u8(self, raw: np.ndarray, block_seconds: float = 2.0,
                            pipelined: bool = True, start_block: int = 0,
-                           prev_end: dict[int, int] | None = None):
-        """Fast streaming decode of a cu8 capture: fixed overlapping raw
-        blocks through the fused u8 device program (one dispatch + one fetch
-        per block, optionally overlapped via PipelinedDecoder).  raw may be
-        a np.memmap — segments are sliced by absolute position, so memory
-        stays constant and start_block resumes exactly (byte-identical
-        blocks vs an uninterrupted run; pass the checkpointed prev_end to
-        also restore cross-block burst-span suppression).
+                           prev_end: dict[int, int] | None = None,
+                           fmt: str = "cu8"):
+        """Fast streaming decode of a native-format capture: fixed
+        overlapping raw blocks through the fused device program (one
+        dispatch + one fetch per block, optionally overlapped via
+        PipelinedDecoder).  raw may be a np.memmap in the capture's native
+        dtype — segments are sliced by absolute position, so memory stays
+        constant and start_block resumes exactly (byte-identical blocks vs
+        an uninterrupted run; pass the checkpointed prev_end to also
+        restore cross-block burst-span suppression).
 
         Requires lo_wrap=True (the reference's LO mode, the default): the
         fused program is block-position independent there.
         Yields lists of DecodedBurst.
         """
-        assert self.cfg.lo_wrap, "u8 streaming requires lo_wrap=True"
+        assert self.cfg.lo_wrap, "fused streaming requires lo_wrap=True"
         ch = self.channelizer
+        per, pad_val = RAW_FMT[fmt]
         p_in, p_out = ch.p_in, ch.p_out
         align = 32 if self.cfg.use_pallas else 1
         # margins in whole periods
@@ -495,20 +522,22 @@ class Pipeline:
         lmarg_dec = lmarg_p * p_out
         core_dec = core_p * p_out
 
-        t_samp = len(raw) // 2
+        t_samp = len(raw) // per
         total_dec = (t_samp // p_in) * p_out
         n_core = -(-t_samp // (core_p * p_in))
         n_chan = len(self.f_offsets)
-        pd = PipelinedDecoder(self) if pipelined else None
+        pd = PipelinedDecoder(self, fmt=fmt) if pipelined else None
         if prev_end is None:
             prev_end = {}
         pending: list[int] = []                        # t_off FIFO
 
         def seg_bytes(i):
-            lo = (i * core_p - lmarg_p) * p_in * 2
-            hi = lo + total_p * p_in * 2
-            seg = np.full(hi - lo, 127, dtype=np.uint8)
-            s_lo, s_hi = max(lo, 0), min(hi, 2 * t_samp)
+            lo = (i * core_p - lmarg_p) * p_in * per
+            hi = lo + total_p * p_in * per
+            seg = np.full(hi - lo, pad_val,
+                          dtype=raw.dtype if hasattr(raw, "dtype")
+                          else np.uint8)
+            s_lo, s_hi = max(lo, 0), min(hi, per * t_samp)
             if s_hi > s_lo:
                 seg[s_lo - lo : s_hi - lo] = raw[s_lo:s_hi]
             return seg
@@ -528,7 +557,8 @@ class Pipeline:
         for i in range(start_block, n_core):
             t_off = i * core_dec - lmarg_dec
             if pd is None:
-                yield finish(self.decode_wideband_u8(seg_bytes(i)), t_off)
+                yield finish(self.decode_wideband_u8(seg_bytes(i), fmt=fmt),
+                             t_off)
             else:
                 pending.append(t_off)
                 for cands in pd.submit(seg_bytes(i)):
@@ -664,12 +694,13 @@ class PipelinedDecoder:
             ...
     """
 
-    def __init__(self, pipe: "Pipeline", depth: int = 2):
+    def __init__(self, pipe: "Pipeline", depth: int = 2, fmt: str = "cu8"):
         import queue
         import threading
 
         self.pipe = pipe
         self.depth = depth
+        self.fmt = fmt
         self._q = queue.Queue(maxsize=depth)
         self._out = queue.Queue()
         self._worker = threading.Thread(target=self._fetch_loop, daemon=True)
@@ -698,7 +729,8 @@ class PipelinedDecoder:
         from .ops.channelizer import period_phases
 
         ch = self.pipe.channelizer
-        t = len(raw) // 2
+        per, _pad = RAW_FMT[self.fmt]
+        t = len(raw) // per
         align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
         t -= t % align
         b = t // ch.p_in
@@ -707,7 +739,7 @@ class PipelinedDecoder:
         )
         ch._period_cursor += b
         return _wideband_u8_decode_jit(
-            jnp.asarray(raw[: 2 * t]),
+            jnp.asarray(raw[: per * t]),
             ch._lo_r, ch._lo_i,
             jnp.asarray(np.ascontiguousarray(ph.real)),
             jnp.asarray(np.ascontiguousarray(ph.imag)),
@@ -717,6 +749,7 @@ class PipelinedDecoder:
             self.pipe.cfg.max_symbols,
             self.pipe._max_out(),
             self.pipe.cfg.use_pallas,
+            self.fmt,
         )
 
     def submit(self, raw: np.ndarray):
