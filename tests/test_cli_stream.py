@@ -289,3 +289,39 @@ def test_fused_native_ingest_matches_complex_path(fmt):
         for b in bursts for f in b.frames
     )
     assert fused == ref
+
+
+def test_stream_live_fused_cs16_matches_file():
+    """Live pipe decode (fused ingest) of a cs16 stream == file decode."""
+    import io as _io
+
+    rng = np.random.default_rng(12)
+    fs, freq, fc = 2_000_000, 136_975_000, 136_900_000
+    total = 500_000
+    bb = np.zeros(total * 84 // 2000, dtype=np.complex128)
+    for st, nb in ((1500, 20), (12000, 35)):
+        c = rng.integers(0, 256, nb).astype(np.uint8)
+        bb += mod.synthesize_baseband(mod.make_burst([c]), start=st,
+                                      total=len(bb))
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc, total=total) * 300
+    wide += (rng.normal(size=total) + 1j * rng.normal(size=total)) * 8
+    raw = np.empty(2 * total, np.int16)
+    raw[0::2] = np.clip(np.round(wide.real), -32768, 32767)
+    raw[1::2] = np.clip(np.round(wide.imag), -32768, 32767)
+
+    cfg = PipelineConfig(freqs_hz=[float(freq)], fs=fs, fc_hz=float(fc),
+                         max_symbols=512, max_candidates=8)
+    live = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in Pipeline(cfg).stream_live(
+            _io.BytesIO(raw.tobytes()), fmt="cs16", block_seconds=0.1)
+        for b in bursts for f in b.frames
+    )
+    filed = sorted(
+        (b.t0, tuple(f.tolist()))
+        for bursts in Pipeline(cfg).stream_wideband_u8(
+            raw, block_seconds=0.1, fmt="cs16")
+        for b in bursts for f in b.frames
+    )
+    assert len(live) == 2
+    assert live == filed

@@ -74,13 +74,24 @@ def _convert(buf: bytes, fmt: str) -> np.ndarray:
     raise ValueError(fmt)
 
 
-def stream_raw_u8(source, samples_per_block: int) -> Iterator[np.ndarray]:
-    """cu8 fast path: yield raw interleaved uint8 blocks (device converts)."""
+_RAW_DTYPE = {"cu8": np.uint8, "cs16": np.int16, "cf32": np.float32,
+              "f32real": np.float32}
+_ITEMS_PER_SAMPLE = {"cu8": 2, "cs16": 2, "cf32": 2, "f32real": 1}
+
+
+def stream_raw_blocks(source, fmt: str,
+                      samples_per_block: int) -> Iterator[np.ndarray]:
+    """Fused fast path: yield fixed-size NATIVE-dtype raw blocks (the
+    device does the format conversion).  The final partial block is padded
+    with the format's neutral value (127 for cu8, 0 otherwise)."""
     if isinstance(source, str):
         fh = sys.stdin.buffer if source == "-" else open(source, "rb")
     else:
         fh = source
-    want = samples_per_block * 2
+    dt = np.dtype(_RAW_DTYPE[fmt])
+    want = samples_per_block * _ITEMS_PER_SAMPLE[fmt] * dt.itemsize
+    pad = (np.full(1, 127, dt) if fmt == "cu8"
+           else np.zeros(1, dt)).tobytes()
     carry = b""
     while True:
         chunk = fh.read(want - len(carry))
@@ -89,8 +100,14 @@ def stream_raw_u8(source, samples_per_block: int) -> Iterator[np.ndarray]:
         carry += chunk
         if len(carry) < want:
             continue
-        yield np.frombuffer(carry, dtype=np.uint8)
+        yield np.frombuffer(carry, dtype=dt)
         carry = b""
     if carry:
-        carry += b"\x7f" * (want - len(carry))
-        yield np.frombuffer(carry, dtype=np.uint8)
+        carry = carry[: len(carry) - len(carry) % dt.itemsize]
+        carry += pad * ((want - len(carry)) // dt.itemsize)
+        yield np.frombuffer(carry, dtype=dt)
+
+
+def stream_raw_u8(source, samples_per_block: int) -> Iterator[np.ndarray]:
+    """cu8 fast path: yield raw interleaved uint8 blocks (device converts)."""
+    yield from stream_raw_blocks(source, "cu8", samples_per_block)

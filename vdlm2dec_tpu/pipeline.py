@@ -570,10 +570,16 @@ class Pipeline:
     def stream_live(self, source, fmt: str = "cu8", block_seconds: float = 2.0):
         """Incremental decode of a pipe/growing stream (e.g. rtl_sdr |).
 
-        Maintains the decimated-stream overlap across reads; yields lists of
+        Maintains the stream overlap across reads; yields lists of
         DecodedBurst as each core block completes.  Fixed block shapes keep
-        one compiled program.
+        one compiled program.  With the reference LO mode (lo_wrap, the
+        default) the blocks go through the fused device-ingest program:
+        native bytes on the link, convert+channelize+decode in one
+        dispatch, overlapped via PipelinedDecoder.
         """
+        if self.cfg.lo_wrap and (fmt == "cu8" or not self.cfg.use_pallas):
+            yield from self._stream_live_fused(source, fmt, block_seconds)
+            return
         from .io.live import stream_blocks
 
         p_in = self.channelizer.p_in
@@ -609,6 +615,80 @@ class Pipeline:
             cands = self._decode_block(jnp.asarray(seg))
             cands = [cd for cd in cands if lmargin <= cd["t0"] < lmargin + core]
             yield self._finish(cands, t_offset=base, prev_end=prev_end)
+
+    def _stream_live_fused(self, source, fmt: str, block_seconds: float):
+        """Live decode through the fused device-ingest program: a rolling
+        raw window (native dtype) feeds the same overlapping segments as
+        stream_wideband_u8, dispatched via PipelinedDecoder; memory is
+        bounded by one segment regardless of stream length."""
+        from .io.live import stream_raw_blocks
+
+        ch = self.channelizer
+        per, pad_val = RAW_FMT[fmt]
+        p_in, p_out = ch.p_in, ch.p_out
+        align = 32 if self.cfg.use_pallas else 1
+        lmarg_p = -(-160 // p_out)
+        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
+        core_p = self.core_raw_samples(block_seconds) // p_in
+        total_p = lmarg_p + core_p + rmarg_p
+        total_p += (-total_p) % align
+        rmarg_p = total_p - lmarg_p - core_p
+        lmarg_dec, core_dec = lmarg_p * p_out, core_p * p_out
+        items_p = p_in * per                 # raw array items per period
+        dtype = np.uint8 if fmt == "cu8" else (
+            np.int16 if fmt == "cs16" else np.float32)
+
+        # rolling window: starts with the zero-history left margin
+        win = np.full(lmarg_p * items_p, pad_val, dtype=dtype)
+        win_base = -lmarg_p * items_p        # absolute item index of win[0]
+        next_block = 0
+        blocks_fed = 0
+        prev_end: dict[int, int] = {}
+        pd = PipelinedDecoder(self, fmt=fmt)
+        pending: list[int] = []
+
+        def finish(cands, t_off):
+            cands = [cd for cd in cands
+                     if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+            if self.metrics is not None:
+                self.metrics.decimated_samples += (
+                    len(self.f_offsets) * core_dec)
+            return self._finish(cands, t_offset=t_off, prev_end=prev_end)
+
+        def ready_segments():
+            nonlocal win, win_base, next_block
+            while True:
+                seg_lo = (next_block * core_p - lmarg_p) * items_p
+                seg_hi = seg_lo + total_p * items_p
+                if seg_hi > win_base + len(win):
+                    return
+                yield win[seg_lo - win_base : seg_hi - win_base]
+                next_block += 1
+                keep_from = (next_block * core_p - lmarg_p) * items_p
+                if keep_from > win_base:
+                    win = win[keep_from - win_base :]
+                    win_base = keep_from
+
+        for raw in stream_raw_blocks(source, fmt, core_p * p_in):
+            win = np.concatenate([win, raw])
+            blocks_fed += 1
+            for seg in ready_segments():
+                pending.append(next_block * core_dec - lmarg_dec)
+                for cands in pd.submit(seg):
+                    yield finish(cands, pending.pop(0))
+        # EOF: pad the right margin so every fed block decodes
+        if next_block < blocks_fed:
+            need = ((blocks_fed * core_p + rmarg_p) * items_p
+                    - (win_base + len(win)))
+            if need > 0:
+                win = np.concatenate(
+                    [win, np.full(need, pad_val, dtype=dtype)])
+            for seg in ready_segments():
+                pending.append(next_block * core_dec - lmarg_dec)
+                for cands in pd.submit(seg):
+                    yield finish(cands, pending.pop(0))
+        for cands in pd.drain():
+            yield finish(cands, pending.pop(0))
 
     def stream_channels(self, y: np.ndarray, core_len: int | None = None):
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
