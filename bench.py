@@ -104,7 +104,8 @@ def to_u8(wide: np.ndarray) -> np.ndarray:
 def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
                max_candidates: int | None, pallas: bool,
                spacing: int = 50_000, active_every: int = 1,
-               profile_dir: str | None = None) -> dict:
+               profile_dir: str | None = None,
+               fetch_workers: int = 1) -> dict:
     """Time the pipelined u8 fast path on one config; returns stats."""
     import jax
 
@@ -141,9 +142,9 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         file=sys.stderr,
     )
 
-    # pipelined loop: a fetch thread one block behind the dispatcher
-    # overlaps transfers with device compute (production streaming shape)
-    pd = PipelinedDecoder(pipe)
+    # pipelined loop: fetch threads behind the dispatcher overlap transfers
+    # with device compute (production streaming shape)
+    pd = PipelinedDecoder(pipe, workers=fetch_workers)
     n_res = 0
     profile_cm = jax.profiler.trace(profile_dir) if profile_dir else None
     if profile_cm:
@@ -302,6 +303,9 @@ def main():
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="disable the fused Pallas channelizer kernel")
     ap.set_defaults(pallas=True)
+    ap.add_argument("--fetch-workers", type=int, default=1,
+                    help="concurrent result-fetch threads (hide per-fetch "
+                         "link latency)")
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
                     help="skip the 64/76-channel configs")
     ap.set_defaults(scale=True)
@@ -322,6 +326,7 @@ def main():
     primary = run_config(
         args.channels, args.seconds, args.iters, args.max_symbols,
         args.max_candidates, args.pallas, profile_dir=args.profile,
+        fetch_workers=args.fetch_workers,
     )
     extra: dict = {}
     if args.scale:

@@ -759,50 +759,80 @@ class Pipeline:
 
 
 class PipelinedDecoder:
-    """Overlapped dispatch/fetch for the u8 fast path.
+    """Overlapped dispatch/fetch for the fused fast path.
 
     The tunneled TPU backend executes lazily (work runs when a result is
-    fetched), so a fetch thread one block behind the dispatcher overlaps
-    host<->device transfers with device compute (~1.8x on this link).
+    fetched), so fetch threads running behind the dispatcher overlap
+    host<->device transfers with device compute (~1.8x on this link with
+    one worker).  workers>1 issues several fetches concurrently to hide
+    the per-fetch link latency; results are re-ordered to submission
+    order before being yielded.
 
     Usage:
         pd = PipelinedDecoder(pipe)
-        for raw_u8_block in blocks:
-            for cands in pd.submit(raw_u8_block):
+        for raw_block in blocks:
+            for cands in pd.submit(raw_block):
                 ...
         for cands in pd.drain():
             ...
     """
 
-    def __init__(self, pipe: "Pipeline", depth: int = 2, fmt: str = "cu8"):
+    def __init__(self, pipe: "Pipeline", depth: int | None = None,
+                 fmt: str = "cu8", workers: int = 1):
         import queue
         import threading
 
         self.pipe = pipe
-        self.depth = depth
+        self.workers = max(1, workers)
+        self.depth = depth if depth is not None else self.workers + 1
         self.fmt = fmt
-        self._q = queue.Queue(maxsize=depth)
-        self._out = queue.Queue()
-        self._worker = threading.Thread(target=self._fetch_loop, daemon=True)
-        self._worker.start()
+        self._q = queue.Queue(maxsize=self.depth)
+        self._lock = threading.Condition()
+        self._results: dict[int, object] = {}
+        self._seq_in = 0                   # blocks dispatched
+        self._seq_out = 0                  # blocks yielded
+        self._threads = [
+            threading.Thread(target=self._fetch_loop, daemon=True)
+            for _ in range(self.workers)
+        ]
+        for th in self._threads:
+            th.start()
 
     def _fetch_loop(self):
         import time as _time
 
         while True:
-            buf = self._q.get()
-            if buf is None:
-                self._out.put(None)
+            item = self._q.get()
+            if item is None:
                 return
+            seq, buf = item
             try:
                 t_start = _time.perf_counter()
                 host_buf = np.asarray(buf)
                 self.pipe._observe_packed(
                     host_buf, _time.perf_counter() - t_start
                 )
-                self._out.put(unpack_results(host_buf))
+                r = unpack_results(host_buf)
             except Exception as e:          # surface errors to the consumer
-                self._out.put(e)
+                r = e
+            with self._lock:
+                self._results[seq] = r
+                self._lock.notify_all()
+
+    def _emit_ready(self, wait: bool = False):
+        while True:
+            with self._lock:               # never yield while holding this
+                if self._seq_out >= self._seq_in:
+                    return
+                while self._seq_out not in self._results:
+                    if not wait:
+                        return
+                    self._lock.wait()
+                r = self._results.pop(self._seq_out)
+                self._seq_out += 1
+            if isinstance(r, Exception):
+                raise r
+            yield r
 
     def _dispatch(self, raw: np.ndarray):
         from .io.sdr import RTL_DC_OFFSET
@@ -834,27 +864,19 @@ class PipelinedDecoder:
 
     def submit(self, raw: np.ndarray):
         """Dispatch a block; yields any already-completed blocks' candidates
-        (non-blocking unless the pipeline is full)."""
-        self._q.put(self._dispatch(raw))
-        while True:
-            try:
-                r = self._out.get_nowait()
-            except Exception:
-                break
-            if isinstance(r, Exception):
-                raise r
-            yield r
+        in submission order (non-blocking unless the pipeline is full)."""
+        buf = self._dispatch(raw)
+        self._q.put((self._seq_in, buf))
+        with self._lock:
+            self._seq_in += 1
+        yield from self._emit_ready(wait=False)
 
     def drain(self):
-        """Finish: yields remaining results; the decoder is then closed."""
-        self._q.put(None)
-        while True:
-            r = self._out.get()
-            if r is None:
-                return
-            if isinstance(r, Exception):
-                raise r
-            yield r
+        """Finish: yields remaining results in order; the decoder is then
+        closed."""
+        for _ in self._threads:
+            self._q.put(None)
+        yield from self._emit_ready(wait=True)
 
 
 def deframe_corrected(block: np.ndarray, nbrow: int, nlbyte: int) -> list[np.ndarray]:
