@@ -325,3 +325,60 @@ def test_stream_live_fused_cs16_matches_file():
     )
     assert len(live) == 2
     assert live == filed
+
+
+def test_sigterm_drains_and_exits(tmp_path):
+    """SIGTERM mid-stream drains and exits cleanly (sighandler ->
+    stopVdlm2 semantics, main.c:106-110,215-220)."""
+    import os as _os
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    rng = np.random.default_rng(6)
+    fs, freq, fc = 2_000_000, 136_975_000, 136_900_000
+    content = fg.acars_frame(text="TERM TEST", label="Q0")
+    bb = mod.synthesize_baseband(mod.make_burst([content]), start=2500,
+                                 total=3 * 8400)
+    wide = mod.upsample_to_wideband(bb, fs, freq - fc) * 40.0
+    wide += (rng.normal(size=len(wide)) + 1j * rng.normal(size=len(wide)))
+    cap = tmp_path / "term.cu8"
+    write_capture(str(cap), wide, "cu8")
+    log = tmp_path / "term.log"
+
+    env = dict(_os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + _os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from vdlm2dec_tpu.cli import main;"
+        f"sys.exit(main(['136.975','--iq','-','--format','cu8',"
+        f"'--fc','{fc}','--max-rows','2','--block-seconds','0.2',"
+        f"'-J','-l',r'{log}']))"
+    )
+    # keep stdin open after the capture so the decoder blocks on read;
+    # then SIGTERM must drain what was decoded and exit 0
+    proc = subprocess.Popen([_sys.executable, "-c", code],
+                            stdin=subprocess.PIPE, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            cwd=str(tmp_path.parent))
+    # pad a second of idle samples after the burst so block 0 gains its
+    # right margin and decodes while stdin stays open
+    proc.stdin.write(cap.read_bytes() + b"\x7f" * (2 * fs))
+    proc.stdin.flush()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:        # wait for the frame to be logged
+        if log.exists() and log.read_text().strip():
+            break
+        _time.sleep(0.5)
+    proc.send_signal(_signal.SIGTERM)
+    try:
+        rc = proc.wait(timeout=60)
+    finally:
+        proc.kill()
+    assert rc == 0
+    lines = [l for l in log.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["text"] == "TERM TEST"

@@ -90,6 +90,23 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # drain-and-exit on SIGTERM/SIGQUIT like SIGINT (sighandler ->
+    # stopVdlm2, main.c:106-110,215-220); in-flight host work is flushed
+    # by the KeyboardInterrupt handlers below
+    import signal as _signal
+    import threading as _threading
+
+    def _stop(signum, frame):
+        raise KeyboardInterrupt
+
+    if _threading.current_thread() is _threading.main_thread():
+        for _sig in (_signal.SIGTERM, getattr(_signal, "SIGQUIT", None)):
+            if _sig is not None:
+                try:
+                    _signal.signal(_sig, _stop)
+                except (ValueError, OSError):
+                    pass
+
     verbose = 1
     if args.verbose:
         verbose = 2
