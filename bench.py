@@ -32,7 +32,8 @@ import numpy as np
 
 
 def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
-                 spacing: int = 50_000, active_every: int = 1):
+                 spacing: int = 50_000, active_every: int = 1,
+                 base: int | None = None):
     """Wideband capture with periodic bursts on every active_every-th
     channel (sync/filter cost is per-channel regardless of traffic, so
     sparse activity keeps large-channel-count synthesis affordable).
@@ -45,7 +46,7 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     cache = os.path.join(
         tempfile.gettempdir(),
         f"vdlm2_bench_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
-        f"{active_every}.npz",
+        f"{active_every}_{base}.npz",
     )
     if os.path.exists(cache):
         try:
@@ -59,7 +60,8 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     from vdlm2dec_tpu.constants import DEMOD_RATE
 
     rng = np.random.default_rng(seed)
-    base = 136_600_000 if n_channels <= 32 else 136_050_000
+    if base is None:
+        base = 136_600_000 if n_channels <= 32 else 136_050_000
     freqs = [base + spacing * i for i in range(n_channels)]
     fc = (min(freqs) + max(freqs)) // 2 - 287_500
     if max(abs(fc - f) for f in freqs) > fs // 2 - 50_000:
@@ -105,15 +107,16 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
                max_candidates: int | None, pallas: bool,
                spacing: int = 50_000, active_every: int = 1,
                profile_dir: str | None = None,
-               fetch_workers: int = 1) -> dict:
+               fetch_workers: int = 1, fs: int = 2_000_000,
+               base: int | None = None) -> dict:
     """Time the pipelined u8 fast path on one config; returns stats."""
     import jax
 
     from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig, PipelinedDecoder
 
-    fs = 2_000_000
     wide, freqs, fc, n_bursts = make_capture(
-        fs, channels, seconds, spacing=spacing, active_every=active_every)
+        fs, channels, seconds, spacing=spacing, active_every=active_every,
+        base=base)
     max_cand = max_candidates or max(16, int(16 * seconds))
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs],
@@ -162,8 +165,8 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
 
     msps = t * iters / dt / 1e6
     # one chip replaces this many real-time reference instances at this
-    # channel count (the reference handles <=8 channels at 2 Msps)
-    chan_rt = channels * msps / 2.0
+    # channel count: channels x (achieved rate / the capture's own rate)
+    chan_rt = channels * msps / (fs / 1e6)
     print(
         f"# [{channels}ch] {dt:.3f}s for {iters} x {t} samples: "
         f"{msps:.1f} Msps = {chan_rt:.0f} channel-realtime equivalents",
@@ -311,6 +314,10 @@ def main():
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
                     help="skip the 64/76-channel configs")
     ap.set_defaults(scale=True)
+    ap.add_argument("--band", action="store_true",
+                    help="add the whole-VDL-band config: 760 channels at "
+                         "25 kHz across 118.5-137.5 MHz from a 20 Msps "
+                         "capture in ONE device program")
     ap.add_argument("--analysis", action="store_true",
                     help="per-stage device timings + roofline proxies "
                          "(several extra compiles)")
@@ -344,6 +351,15 @@ def main():
                 )
             except Exception as e:          # never lose the primary metric
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
+    if args.band:
+        try:
+            extra["scale_band_760ch"] = run_config(
+                760, 1.0, 2, args.max_symbols, args.max_candidates,
+                args.pallas, spacing=25_000, active_every=48,
+                fs=20_000_000, base=118_500_000,
+            )
+        except Exception as e:
+            print(f"# whole-band config failed: {e}", file=sys.stderr)
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(
