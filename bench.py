@@ -45,7 +45,7 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"vdlm2_bench2_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
         f"{active_every}_{base}.npz",
     )
     if os.path.exists(cache):
@@ -63,9 +63,12 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     if base is None:
         base = 136_600_000 if n_channels <= 32 else 136_050_000
     freqs = [base + spacing * i for i in range(n_channels)]
-    fc = (min(freqs) + max(freqs)) // 2 - 287_500
+    # fc on the 25 kHz raster (like chooseFc in practice): offsets stay
+    # raster multiples, so the wrapped-LO modes (incl. the residue-space
+    # channelizer) see a phase-continuous LO
+    fc = round(((min(freqs) + max(freqs)) // 2 - 287_500) / 25_000) * 25_000
     if max(abs(fc - f) for f in freqs) > fs // 2 - 50_000:
-        fc = (min(freqs) + max(freqs)) // 2 - 12_500
+        fc = round((min(freqs) + max(freqs)) / 2 / 25_000) * 25_000
     total_wide = int(fs * seconds)
     total_bb = int(DEMOD_RATE * seconds)
     wide = np.zeros(total_wide, dtype=np.complex128)
@@ -108,7 +111,7 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
                spacing: int = 50_000, active_every: int = 1,
                profile_dir: str | None = None,
                fetch_workers: int = 1, fs: int = 2_000_000,
-               base: int | None = None) -> dict:
+               base: int | None = None, chan_impl: str = "matmul") -> dict:
     """Time the pipelined u8 fast path on one config; returns stats."""
     import jax
 
@@ -122,10 +125,11 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         freqs_hz=[float(f) for f in freqs],
         fs=fs,
         fc_hz=float(fc),
-        lo_wrap=False,
+        lo_wrap=(chan_impl == "dft"),     # dft exploits the wrapped LO
         max_candidates=max_cand,
         max_symbols=max_symbols,
-        use_pallas=pallas,
+        use_pallas=pallas and chan_impl == "matmul",
+        chan_impl=chan_impl,
         # decode slots sized for dense traffic (~11 bursts/s/channel at
         # median burst length) rather than channels x sync slots
         max_out=max(64, int(11 * seconds * channels // max(active_every, 1))),
@@ -311,6 +315,10 @@ def main():
     ap.add_argument("--fetch-workers", type=int, default=1,
                     help="concurrent result-fetch threads (hide per-fetch "
                          "link latency)")
+    ap.add_argument("--chan-impl", default="matmul",
+                    choices=["matmul", "dft"],
+                    help="dft = residue-space channelizer (25/84 the FLOPs,"
+                         " no dense mixed intermediate)")
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
                     help="skip the 64/76-channel configs")
     ap.set_defaults(scale=True)
@@ -335,7 +343,7 @@ def main():
     primary = run_config(
         args.channels, args.seconds, args.iters, args.max_symbols,
         args.max_candidates, args.pallas, profile_dir=args.profile,
-        fetch_workers=args.fetch_workers,
+        fetch_workers=args.fetch_workers, chan_impl=args.chan_impl,
     )
     extra: dict = {}
     if args.scale:
@@ -353,10 +361,13 @@ def main():
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
     if args.band:
         try:
+            # the residue-space channelizer is the only formulation that
+            # scales here: the dense mix would materialize a (760, B,
+            # 20000) intermediate (~60 GB/s of capture)
             extra["scale_band_760ch"] = run_config(
                 760, 1.0, 2, args.max_symbols, args.max_candidates,
-                args.pallas, spacing=25_000, active_every=48,
-                fs=20_000_000, base=118_500_000,
+                False, spacing=25_000, active_every=48,
+                fs=20_000_000, base=118_500_000, chan_impl="dft",
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)

@@ -24,10 +24,15 @@ SHIM_AIR = os.path.join(_D, "ref_shim_choosefc_air")
 
 
 def _ensure_choosefc_shims():
-    if os.path.exists(SHIM_RTL) and os.path.exists(SHIM_AIR):
+    src = os.path.join(_D, "shim_choosefc.c")
+    fresh = all(
+        os.path.exists(b) and os.path.getmtime(b) >= os.path.getmtime(src)
+        for b in (SHIM_RTL, SHIM_AIR)
+    )
+    if fresh:
         return True
     if not os.path.exists("/root/reference/rtl.c"):
-        return False
+        return os.path.exists(SHIM_RTL) and os.path.exists(SHIM_AIR)
     try:
         subprocess.run(["sh", os.path.join(_D, "build.sh")], check=True,
                        capture_output=True, timeout=120)

@@ -154,3 +154,51 @@ def test_pipeline_rs_corrects_iq_corruption():
     assert len(bursts) == 1
     np.testing.assert_array_equal(bursts[0].frames[0][1:-3], content)
     assert sum(c for c in bursts[0].rs_counts if c > 0) >= 2
+
+
+def test_dft_channelizer_matches_matmul():
+    """The residue-space ("dft") channelizer computes the same sums as the
+    dense wrapped-LO matmul (same products, different order) and decodes
+    the same frames through the fused path."""
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu import framegen as fg
+    from vdlm2dec_tpu import modulator as mod
+    from vdlm2dec_tpu.ops.channelizer import Channelizer
+
+    rng = np.random.default_rng(21)
+    fs, fc = 2_000_000, 136_900_000
+    freqs = [136_975_000.0, 136_725_000.0]
+    total = 200_000
+    x = (rng.normal(size=total) + 1j * rng.normal(size=total)).astype(np.complex64)
+
+    offs = [f - fc for f in freqs]
+    y_mm = np.asarray(Channelizer(offs, fs=fs)(x))
+    y_dft = np.asarray(Channelizer(offs, fs=fs, impl="dft")(x))
+    np.testing.assert_allclose(y_dft, y_mm, rtol=2e-5, atol=2e-5)
+
+    # frame-level equality through the fused u8 path
+    content = fg.acars_frame(text="DFT PATH", label="Q0")
+    bb = mod.synthesize_baseband(mod.make_burst([content]), start=1500,
+                                 total=total * 84 // 2000)
+    wide = mod.upsample_to_wideband(bb, fs, offs[0], total=total) * 40
+    wide += rng.normal(size=total) + 1j * rng.normal(size=total)
+    raw = np.empty(2 * total, np.float32)
+    raw[0::2] = wide.real + 127.37
+    raw[1::2] = wide.imag + 127.37
+    raw_u8 = np.clip(np.round(raw), 0, 255).astype(np.uint8)
+
+    frames = {}
+    for impl in ("matmul", "dft"):
+        cfg = PipelineConfig(freqs_hz=freqs, fs=fs, fc_hz=float(fc),
+                             max_symbols=512, max_candidates=4,
+                             chan_impl=impl)
+        pipe = Pipeline(cfg)
+        cands = pipe.decode_wideband_u8(raw_u8)
+        bursts = pipe._finish(cands, 0)
+        frames[impl] = sorted(
+            (b.channel, b.t0, tuple(f.tolist()))
+            for b in bursts for f in b.frames
+        )
+    assert len(frames["matmul"]) == 1
+    assert frames["dft"] == frames["matmul"]

@@ -128,12 +128,17 @@ def main(argv=None) -> int:
         return 1
 
     real_input = args.format == "f32real"
-    if args.fc is not None:
-        fc = args.fc
-    elif real_input:
-        fc = choose_fc_airspy(freqs, args.fs)
-    else:
-        fc = choose_fc(freqs, args.fs)
+    try:
+        if args.fc is not None:
+            fc = args.fc
+        elif real_input:
+            fc = choose_fc_airspy(freqs, args.fs)
+        else:
+            fc = choose_fc(freqs, args.fs)
+    except ValueError as e:
+        # reference prints the message and exits (rtl.c:142, air.c:166)
+        print(str(e), file=sys.stderr)
+        return 1
     if args.ppm:
         # a tuner ppm error shifts every RF frequency (and the sample clock;
         # the demod's per-burst CFO estimator absorbs the residual) — apply
@@ -235,7 +240,8 @@ def main(argv=None) -> int:
     core_raw = pipe.core_raw_samples(args.block_seconds)
     start_block = min(cursor, total_samples) // core_raw
     fused_ok = cfg.lo_wrap and mesh is None and (
-        args.format == "cu8" or not args.pallas)   # Pallas ingest is u8-only
+        args.format == "cu8" or not args.pallas    # Pallas ingest is u8-only
+    ) and cfg.filter_mode == "boxcar"              # fused program is boxcar
     if fused_ok:
         # fast path: native-format raw blocks through the fused pipelined
         # device program (convert on device, one dispatch+fetch per block)

@@ -51,7 +51,8 @@ BASIC_REPORT_TAGS = {
 }
 
 # downlink tag -> (name, data length in bytes after the tag); None length =
-# variable/terminal (consumes the rest of the message)
+# computed per-message (tag 5: contract number + group count + 2 bytes per
+# noncomplying group, ARINC 745-2 noncompliance notification)
 DOWNLINK_TAGS = {
     3: ("acknowledgement", 1),
     4: ("negative acknowledgement", 2),
@@ -124,7 +125,13 @@ def _group_lines(tag: int, name: str, data: bytes) -> list[str]:
     if tag == 4:
         return [f"  {name}: contract request {data[0]} reason {data[1]}"]
     if tag == 5:
-        return [f"  {name}: {data.hex()}"]
+        n_grp = data[1] if len(data) > 1 else 0
+        grps = ", ".join(
+            f"tag {data[2 + 2 * k]} reason {data[3 + 2 * k]}"
+            for k in range(n_grp) if 3 + 2 * k < len(data)
+        )
+        return [f"  {name}: contract request {data[0]}"
+                + (f" ({grps})" if grps else "")]
     if tag == 6:
         return [f"  {name}"]
     if tag == 11:
@@ -196,8 +203,8 @@ def parse_adsc_downlink(payload: bytes) -> ArincNode | None:
             )
             break
         name, length = entry
-        if length is None:
-            length = n - i - 1                 # variable: rest of message
+        if length is None:                     # tag 5: 2 + 2*group-count
+            length = (2 + 2 * payload[i + 2]) if i + 2 < n else n - i - 1
         if i + 1 + length > n:
             node.lines.append(f"  truncated {name}")
             break

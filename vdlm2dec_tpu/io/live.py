@@ -79,11 +79,13 @@ _RAW_DTYPE = {"cu8": np.uint8, "cs16": np.int16, "cf32": np.float32,
 _ITEMS_PER_SAMPLE = {"cu8": 2, "cs16": 2, "cf32": 2, "f32real": 1}
 
 
-def stream_raw_blocks(source, fmt: str,
-                      samples_per_block: int) -> Iterator[np.ndarray]:
+def stream_raw_blocks(source, fmt: str, samples_per_block: int,
+                      counter: list | None = None) -> Iterator[np.ndarray]:
     """Fused fast path: yield fixed-size NATIVE-dtype raw blocks (the
     device does the format conversion).  The final partial block is padded
-    with the format's neutral value (127 for cu8, 0 otherwise)."""
+    with the format's neutral value (127 for cu8, 0 otherwise).  counter
+    (optional [int]) accumulates the number of REAL items read, so callers
+    can distinguish stream data from padding."""
     if isinstance(source, str):
         fh = sys.stdin.buffer if source == "-" else open(source, "rb")
     else:
@@ -98,6 +100,8 @@ def stream_raw_blocks(source, fmt: str,
         if not chunk:
             break
         carry += chunk
+        if counter is not None:
+            counter[0] += len(chunk) // dt.itemsize
         if len(carry) < want:
             continue
         yield np.frombuffer(carry, dtype=dt)

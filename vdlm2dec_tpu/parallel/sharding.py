@@ -177,7 +177,7 @@ class ShardedWidebandDecoder:
         )
         self._consts = (lo_r, lo_i, a, angj)
 
-    def decode(self, x) -> list:
+    def decode(self, x, observer=None) -> list:
         with self.mesh:
             x = jax.device_put(
                 jnp.asarray(
@@ -197,7 +197,10 @@ class ShardedWidebandDecoder:
             )
         from ..pipeline import unpack_results
 
-        return unpack_results(np.asarray(res))
+        buf = np.asarray(res)
+        if observer is not None:        # stage counters + overflow warning
+            observer(buf)
+        return unpack_results(buf)
 
 
 def packed_decode_step(max_candidates: int, max_symbols: int, max_out: int):
@@ -261,7 +264,7 @@ class ShardedDecoder:
             )
         )
 
-    def decode(self, y) -> list:
+    def decode(self, y, observer=None) -> list:
         from ..pipeline import unpack_results
 
         with self.mesh:
@@ -275,4 +278,7 @@ class ShardedDecoder:
                 NamedSharding(self.mesh, P("chan", "time", None)),
             )
             res = self._step(y)
-        return unpack_results(np.asarray(res))
+        buf = np.asarray(res)
+        if observer is not None:        # stage counters + overflow warning
+            observer(buf)
+        return unpack_results(buf)

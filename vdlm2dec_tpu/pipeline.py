@@ -71,6 +71,11 @@ class PipelineConfig:
     filter_mode: str = "boxcar"            # "fir": >60 dB adjacent-channel
                                            # rejection (beats the reference's
                                            # ~1 dB boxcar); boxcar = parity
+    chan_impl: str = "matmul"              # "dft": residue-space channelizer
+                                           # (25/84 the FLOPs, no (C,B,P_in)
+                                           # intermediate — scales to the
+                                           # whole VDL band; needs lo_wrap
+                                           # boxcar)
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -177,7 +182,8 @@ _device_decode_packed_jit = jax.jit(
 
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
-                        use_pallas: bool = False, fmt: str = "cu8"):
+                        use_pallas: bool = False, fmt: str = "cu8",
+                        core_start: int = 0, core_len: int = 0):
     """Fused device program: raw wideband IQ -> packed candidates.
 
     Ships the capture's NATIVE sample format over the host link and
@@ -220,13 +226,52 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
         yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
-    return _device_decode_packed(y, max_candidates, max_symbols, max_out)
+    return _device_decode_packed(y, max_candidates, max_symbols, max_out,
+                                 core_start=core_start, core_len=core_len)
 
 
 _wideband_u8_decode_jit = jax.jit(
     _wideband_u8_decode,
     static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas",
-                     "fmt"),
+                     "fmt", "core_start", "core_len"),
+)
+
+
+def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
+                             max_candidates: int, max_symbols: int,
+                             max_out: int, fmt: str = "cu8",
+                             core_start: int = 0, core_len: int = 0):
+    """Fused device program with the residue-space channelizer: native raw
+    IQ -> gather into (B, tbl, 84) residue space -> one (C, tbl) matmul ->
+    decode.  Same products as the wrapped-LO mix+dump (see
+    ops.channelizer.dft_tables) but O(tbl) per output sample and no
+    (C, B, P_in) intermediate — the path that scales to the whole band."""
+    from .ops.channelizer import _channelize_dft_jit
+
+    tbl, p_out = idx.shape
+    if fmt == "f32real":
+        p_in = 25 * tbl
+        b = raw.shape[0] // p_in
+        x_r = raw.astype(jnp.float32).reshape(b, p_in)
+        x_i = jnp.zeros_like(x_r)
+    else:
+        x = raw.astype(jnp.float32)
+        if fmt == "cu8":
+            x = x - dc_offset
+        p_in = 25 * tbl
+        b = x.shape[0] // 2 // p_in
+        x_r = x[0::2].reshape(b, p_in)
+        x_i = x[1::2].reshape(b, p_in)
+    yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen)
+    y = jnp.stack([yr, yi], axis=-1)
+    return _device_decode_packed(y, max_candidates, max_symbols, max_out,
+                                 core_start=core_start, core_len=core_len)
+
+
+_wideband_raw_decode_dft_jit = jax.jit(
+    _wideband_raw_decode_dft,
+    static_argnames=("max_candidates", "max_symbols", "max_out", "fmt",
+                     "core_start", "core_len"),
 )
 
 # samples per LO period -> raw array items per period, and the neutral pad
@@ -284,9 +329,15 @@ def burst_span_samples(consumed_bits: int, of: float) -> int:
 
 class Pipeline:
     def __init__(self, cfg: PipelineConfig):
+        import threading
+
         self.cfg = cfg
         self.metrics = None              # optional PipelineMetrics sink
         self._overflow_warned = False
+        self._metrics_lock = threading.Lock()
+        assert not (cfg.use_pallas and cfg.chan_impl == "dft"), (
+            "use_pallas applies to the dense matmul channelizer only"
+        )
         self.sdrclk = cfg.resolved_sdrclk()
         if cfg.fc_hz is None:
             from .io.sdr import choose_fc
@@ -304,6 +355,7 @@ class Pipeline:
             lo_wrap=cfg.lo_wrap,
             real_input=cfg.real_input,
             filter_mode=cfg.filter_mode,
+            impl=cfg.chan_impl,
         )
         self._sharded = None
         if cfg.mesh is not None:
@@ -331,16 +383,20 @@ class Pipeline:
         if self.metrics is not None:
             self.metrics.decimated_samples += int(y.shape[0] * y.shape[1])
         if self._sharded is not None:
-            cands = self._sharded.decode(y)       # packed candidate list
+            cands = self._sharded.decode(y, observer=self._observe_packed)
         else:
             cands = self._decode_block(jnp.asarray(y, dtype=jnp.float32))
         return self._finish(cands, t_offset=0)
 
-    def _decode_block(self, y: jnp.ndarray) -> list[dict]:
+    def _decode_block(self, y: jnp.ndarray, core_start: int = 0,
+                      core_len: int = 0) -> list[dict]:
         """Single-chip decode returning compacted host-side candidates.
 
         The packed path does ONE device->host fetch (high per-fetch latency
         on tunneled TPU links makes per-array fetches the dominant cost).
+        core_start/core_len (streaming): only triggers inside the core
+        region own slots and count in the stage counters, and t0 comes
+        back core-relative.
         """
         import time as _time
 
@@ -350,31 +406,36 @@ class Pipeline:
             self.cfg.max_candidates,
             self.cfg.max_symbols,
             self._max_out(),
+            core_start=core_start,
+            core_len=core_len,
         ))
         self._observe_packed(buf, _time.perf_counter() - t_start)
         return unpack_results(buf)
 
     def _observe_packed(self, buf: np.ndarray, device_s: float = 0.0) -> None:
         """Fold a packed buffer's on-device stage counters into metrics and
-        surface candidate overflow (silent frame loss otherwise)."""
+        surface candidate overflow (silent frame loss otherwise).  Called
+        from fetch-worker threads too, hence the lock."""
         stats = packed_stats(buf)
-        if stats["candidates_overflow"] and not self._overflow_warned:
+        with self._metrics_lock:
+            warn = stats["candidates_overflow"] and not self._overflow_warned
+            if warn:
+                self._overflow_warned = True
+            m = self.metrics
+            if m is not None:
+                m.sync_candidates += stats["sync_candidates"]
+                m.bursts_rejected_header += stats["bursts_rejected_header"]
+                m.candidates_overflow += stats["candidates_overflow"]
+                m.device_time_s += device_s
+        if warn:
             import sys as _sys
 
-            self._overflow_warned = True
             print(
                 f"vdlm2t: WARNING: {stats['candidates_overflow']} sync "
                 f"candidates dropped: decode slots exhausted "
                 f"(max_out={self._max_out()}); raise max_out/max_candidates",
                 file=_sys.stderr,
             )
-        m = self.metrics
-        if m is None:
-            return
-        m.sync_candidates += stats["sync_candidates"]
-        m.bursts_rejected_header += stats["bursts_rejected_header"]
-        m.candidates_overflow += stats["candidates_overflow"]
-        m.device_time_s += device_s
 
     def _max_out(self) -> int:
         if self.cfg.max_out is not None:
@@ -382,13 +443,16 @@ class Pipeline:
                        len(self.cfg.freqs_hz) * self.cfg.max_candidates)
         return min(len(self.cfg.freqs_hz) * self.cfg.max_candidates, 512)
 
-    def decode_wideband_u8(self, raw: np.ndarray, fmt: str = "cu8") -> list[dict]:
+    def decode_wideband_u8(self, raw: np.ndarray, fmt: str = "cu8",
+                           core_start: int = 0,
+                           core_len: int = 0) -> list[dict]:
         """Fused fast path: native-format raw IQ -> candidate dicts.
 
         The whole program (format convert + channelize + demod + FEC +
         packing) is one dispatch; only the capture's native bytes/sample
         cross the host->device link (2 for cu8, 4 cs16, 8 cf32,
-        4 f32real).
+        4 f32real).  core_start/core_len restrict ownership to the core
+        region (streaming margins) on device; t0 returns core-relative.
         """
         from .io.sdr import RTL_DC_OFFSET
         from .ops.channelizer import period_phases
@@ -407,19 +471,34 @@ class Pipeline:
         import time as _time
 
         t_start = _time.perf_counter()
-        buf = np.asarray(_wideband_u8_decode_jit(
-            jnp.asarray(raw),
-            ch._lo_r, ch._lo_i,
-            jnp.asarray(np.ascontiguousarray(ph.real)),
-            jnp.asarray(np.ascontiguousarray(ph.imag)),
-            ch._a,
-            jnp.float32(RTL_DC_OFFSET),
-            self.cfg.max_candidates,
-            self.cfg.max_symbols,
-            self._max_out(),
-            self.cfg.use_pallas,
-            fmt,
-        ))
+        if ch.impl == "dft":
+            buf = np.asarray(_wideband_raw_decode_dft_jit(
+                jnp.asarray(raw),
+                ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+                jnp.float32(RTL_DC_OFFSET),
+                self.cfg.max_candidates,
+                self.cfg.max_symbols,
+                self._max_out(),
+                fmt,
+                core_start,
+                core_len,
+            ))
+        else:
+            buf = np.asarray(_wideband_u8_decode_jit(
+                jnp.asarray(raw),
+                ch._lo_r, ch._lo_i,
+                jnp.asarray(np.ascontiguousarray(ph.real)),
+                jnp.asarray(np.ascontiguousarray(ph.imag)),
+                ch._a,
+                jnp.float32(RTL_DC_OFFSET),
+                self.cfg.max_candidates,
+                self.cfg.max_symbols,
+                self._max_out(),
+                self.cfg.use_pallas,
+                fmt,
+                core_start,
+                core_len,
+            ))
         self._observe_packed(buf, _time.perf_counter() - t_start)
         return unpack_results(buf)
 
@@ -477,16 +556,15 @@ class Pipeline:
             lo_p = i * core_p - lmarg_p
             seg = read(lo_p * p_in, (lmarg_p + core_p + rmarg_p) * p_in)
             y = ch(seg, period0=lo_p)
-            cands = self._decode_block(jnp.asarray(y))
-            cands = [
-                cd for cd in cands
-                if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec
-            ]
+            # core ownership enforced ON DEVICE: margin triggers neither
+            # occupy decode slots nor count in the stage counters, and t0
+            # comes back core-relative
+            cands = self._decode_block(jnp.asarray(y), lmarg_dec, core_dec)
             if self.metrics is not None:
                 self.metrics.decimated_samples += c * max(
                     0, min(core_dec, total_dec - i * core_dec)
                 )
-            yield self._finish(cands, t_offset=i * core_dec - lmarg_dec,
+            yield self._finish(cands, t_offset=i * core_dec,
                                prev_end=prev_end)
 
     def stream_wideband_u8(self, raw: np.ndarray, block_seconds: float = 2.0,
@@ -507,6 +585,10 @@ class Pipeline:
         Yields lists of DecodedBurst.
         """
         assert self.cfg.lo_wrap, "fused streaming requires lo_wrap=True"
+        assert self.cfg.filter_mode == "boxcar", (
+            "the fused device program is boxcar-only; use stream_wideband "
+            "for filter_mode='fir'"
+        )
         ch = self.channelizer
         per, pad_val = RAW_FMT[fmt]
         p_in, p_out = ch.p_in, ch.p_out
@@ -526,7 +608,9 @@ class Pipeline:
         total_dec = (t_samp // p_in) * p_out
         n_core = -(-t_samp // (core_p * p_in))
         n_chan = len(self.f_offsets)
-        pd = PipelinedDecoder(self, fmt=fmt) if pipelined else None
+        pd = (PipelinedDecoder(self, fmt=fmt, core_start=lmarg_dec,
+                               core_len=core_dec)
+              if pipelined else None)
         if prev_end is None:
             prev_end = {}
         pending: list[int] = []                        # t_off FIFO
@@ -543,22 +627,23 @@ class Pipeline:
             return seg
 
         def finish(cands, t_off):
-            cands = [
-                cd for cd in cands
-                if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec
-            ]
+            # core ownership already enforced on device (t0 core-relative)
             if self.metrics is not None:
-                i = (t_off + lmarg_dec) // core_dec
+                i = t_off // core_dec
                 self.metrics.decimated_samples += n_chan * max(
                     0, min(core_dec, total_dec - i * core_dec)
                 )
             return self._finish(cands, t_offset=t_off, prev_end=prev_end)
 
         for i in range(start_block, n_core):
-            t_off = i * core_dec - lmarg_dec
+            t_off = i * core_dec
             if pd is None:
-                yield finish(self.decode_wideband_u8(seg_bytes(i), fmt=fmt),
-                             t_off)
+                yield finish(
+                    self.decode_wideband_u8(seg_bytes(i), fmt=fmt,
+                                            core_start=lmarg_dec,
+                                            core_len=core_dec),
+                    t_off,
+                )
             else:
                 pending.append(t_off)
                 for cands in pd.submit(seg_bytes(i)):
@@ -577,7 +662,8 @@ class Pipeline:
         native bytes on the link, convert+channelize+decode in one
         dispatch, overlapped via PipelinedDecoder.
         """
-        if self.cfg.lo_wrap and (fmt == "cu8" or not self.cfg.use_pallas):
+        if (self.cfg.lo_wrap and self.cfg.filter_mode == "boxcar"
+                and (fmt == "cu8" or not self.cfg.use_pallas)):
             yield from self._stream_live_fused(source, fmt, block_seconds)
             return
         from .io.live import stream_blocks
@@ -598,12 +684,9 @@ class Pipeline:
             # now has a full right margin: core region start = base_core
             while buf.shape[1] >= lmargin + core + rmargin:
                 seg = buf[:, : lmargin + core + rmargin]
-                cands = self._decode_block(jnp.asarray(seg))
-                cands = [
-                    cd for cd in cands
-                    if lmargin <= cd["t0"] < lmargin + core
-                ]
-                yield self._finish(cands, t_offset=base, prev_end=prev_end)
+                cands = self._decode_block(jnp.asarray(seg), lmargin, core)
+                yield self._finish(cands, t_offset=base + lmargin,
+                                   prev_end=prev_end)
                 buf = buf[:, core:]
                 base += core
             tail = buf
@@ -612,9 +695,9 @@ class Pipeline:
             pad = lmargin + core + rmargin - tail.shape[1]
             seg = np.pad(tail, ((0, 0), (0, max(pad, 0)), (0, 0)))
             seg = seg[:, : lmargin + core + rmargin]
-            cands = self._decode_block(jnp.asarray(seg))
-            cands = [cd for cd in cands if lmargin <= cd["t0"] < lmargin + core]
-            yield self._finish(cands, t_offset=base, prev_end=prev_end)
+            cands = self._decode_block(jnp.asarray(seg), lmargin, core)
+            yield self._finish(cands, t_offset=base + lmargin,
+                               prev_end=prev_end)
 
     def _stream_live_fused(self, source, fmt: str, block_seconds: float):
         """Live decode through the fused device-ingest program: a rolling
@@ -643,16 +726,20 @@ class Pipeline:
         win_base = -lmarg_p * items_p        # absolute item index of win[0]
         next_block = 0
         blocks_fed = 0
+        real_items = [0]                     # items actually read from source
         prev_end: dict[int, int] = {}
-        pd = PipelinedDecoder(self, fmt=fmt)
+        pd = PipelinedDecoder(self, fmt=fmt, core_start=lmarg_dec,
+                              core_len=core_dec)
         pending: list[int] = []
 
         def finish(cands, t_off):
-            cands = [cd for cd in cands
-                     if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+            # core ownership already enforced on device (t0 core-relative)
             if self.metrics is not None:
-                self.metrics.decimated_samples += (
-                    len(self.f_offsets) * core_dec)
+                total_dec = (real_items[0] // items_p) * p_out
+                i = t_off // core_dec
+                self.metrics.decimated_samples += len(self.f_offsets) * max(
+                    0, min(core_dec, total_dec - i * core_dec)
+                )
             return self._finish(cands, t_offset=t_off, prev_end=prev_end)
 
         def ready_segments():
@@ -669,11 +756,12 @@ class Pipeline:
                     win = win[keep_from - win_base :]
                     win_base = keep_from
 
-        for raw in stream_raw_blocks(source, fmt, core_p * p_in):
+        for raw in stream_raw_blocks(source, fmt, core_p * p_in,
+                                     counter=real_items):
             win = np.concatenate([win, raw])
             blocks_fed += 1
             for seg in ready_segments():
-                pending.append(next_block * core_dec - lmarg_dec)
+                pending.append(next_block * core_dec)
                 for cands in pd.submit(seg):
                     yield finish(cands, pending.pop(0))
         # EOF: pad the right margin so every fed block decodes
@@ -684,7 +772,7 @@ class Pipeline:
                 win = np.concatenate(
                     [win, np.full(need, pad_val, dtype=dtype)])
             for seg in ready_segments():
-                pending.append(next_block * core_dec - lmarg_dec)
+                pending.append(next_block * core_dec)
                 for cands in pd.submit(seg):
                     yield finish(cands, pending.pop(0))
         for cands in pd.drain():
@@ -705,15 +793,11 @@ class Pipeline:
             hi = i + core_len + rmargin
             src_lo, src_hi = max(lo, 0), min(hi, t)
             seg[:, src_lo - lo : src_lo - lo + (src_hi - src_lo)] = y[:, src_lo:src_hi]
-            cands = self._decode_block(jnp.asarray(seg))
-            # ownership: trigger inside the core region
-            cands = [
-                cd for cd in cands
-                if lmargin <= cd["t0"] < lmargin + core_len
-            ]
+            # ownership (trigger inside the core region) enforced on device
+            cands = self._decode_block(jnp.asarray(seg), lmargin, core_len)
             if self.metrics is not None:
                 self.metrics.decimated_samples += c * min(core_len, t - i)
-            yield self._finish(cands, t_offset=i - lmargin, prev_end=prev_end)
+            yield self._finish(cands, t_offset=i, prev_end=prev_end)
 
     # -- host finisher -------------------------------------------------------
     def _finish(
@@ -778,7 +862,8 @@ class PipelinedDecoder:
     """
 
     def __init__(self, pipe: "Pipeline", depth: int | None = None,
-                 fmt: str = "cu8", workers: int = 1):
+                 fmt: str = "cu8", workers: int = 1,
+                 core_start: int = 0, core_len: int = 0):
         import queue
         import threading
 
@@ -786,6 +871,8 @@ class PipelinedDecoder:
         self.workers = max(1, workers)
         self.depth = depth if depth is not None else self.workers + 1
         self.fmt = fmt
+        self.core_start = core_start
+        self.core_len = core_len
         self._q = queue.Queue(maxsize=self.depth)
         self._lock = threading.Condition()
         self._results: dict[int, object] = {}
@@ -848,6 +935,18 @@ class PipelinedDecoder:
             ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
         )
         ch._period_cursor += b
+        if ch.impl == "dft":
+            return _wideband_raw_decode_dft_jit(
+                jnp.asarray(raw[: per * t]),
+                ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+                jnp.float32(RTL_DC_OFFSET),
+                self.pipe.cfg.max_candidates,
+                self.pipe.cfg.max_symbols,
+                self.pipe._max_out(),
+                self.fmt,
+                self.core_start,
+                self.core_len,
+            )
         return _wideband_u8_decode_jit(
             jnp.asarray(raw[: per * t]),
             ch._lo_r, ch._lo_i,
@@ -860,6 +959,8 @@ class PipelinedDecoder:
             self.pipe._max_out(),
             self.pipe.cfg.use_pallas,
             self.fmt,
+            self.core_start,
+            self.core_len,
         )
 
     def submit(self, raw: np.ndarray):
