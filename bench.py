@@ -111,7 +111,8 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
                spacing: int = 50_000, active_every: int = 1,
                profile_dir: str | None = None,
                fetch_workers: int = 1, fs: int = 2_000_000,
-               base: int | None = None, chan_impl: str = "matmul") -> dict:
+               base: int | None = None, chan_impl: str = "matmul",
+               block_seconds: float | None = None) -> dict:
     """Time the pipelined u8 fast path on one config; returns stats."""
     import jax
 
@@ -140,32 +141,48 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
     raw_u8 = to_u8(wide[:t])
 
     # correctness sanity + warm-up compile of the exact timed program
-    cands = pipe.decode_wideband_u8(raw_u8)
-    bursts = pipe._finish(cands, 0)
+    if block_seconds:
+        bursts = [b for bs_ in pipe.stream_wideband_u8(
+            raw_u8, block_seconds=block_seconds) for b in bs_]
+        n_cands = len(bursts)
+    else:
+        cands = pipe.decode_wideband_u8(raw_u8)
+        bursts = pipe._finish(cands, 0)
+        n_cands = len(cands)
     n_frames = sum(len(b.frames) for b in bursts)
     print(
         f"# [{channels}ch] sanity: {n_bursts} bursts synthesized, "
-        f"{n_frames} frames decoded ({len(cands)} candidates)",
+        f"{n_frames} frames decoded ({n_cands} candidates)",
         file=sys.stderr,
     )
 
-    # pipelined loop: fetch threads behind the dispatcher overlap transfers
-    # with device compute (production streaming shape)
-    pd = PipelinedDecoder(pipe, workers=fetch_workers)
-    n_res = 0
     profile_cm = jax.profiler.trace(profile_dir) if profile_dir else None
     if profile_cm:
         profile_cm.__enter__()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        for _cands in pd.submit(raw_u8):
+    if block_seconds:
+        # compile-bounded scale configs: stream fixed core blocks through
+        # the pipelined fused program (the production streaming shape)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for _bursts in pipe.stream_wideband_u8(
+                    raw_u8, block_seconds=block_seconds):
+                pass
+        dt = time.perf_counter() - t0
+    else:
+        # pipelined loop: fetch threads behind the dispatcher overlap
+        # transfers with device compute (production streaming shape)
+        pd = PipelinedDecoder(pipe, workers=fetch_workers)
+        n_res = 0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for _cands in pd.submit(raw_u8):
+                n_res += 1
+        for _cands in pd.drain():
             n_res += 1
-    for _cands in pd.drain():
-        n_res += 1
-    dt = time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        assert n_res == iters
     if profile_cm:
         profile_cm.__exit__(None, None, None)
-    assert n_res == iters
 
     msps = t * iters / dt / 1e6
     # one chip replaces this many real-time reference instances at this
@@ -364,10 +381,14 @@ def main():
             # the residue-space channelizer is the only formulation that
             # scales here: the dense mix would materialize a (760, B,
             # 20000) intermediate (~60 GB/s of capture)
+            # 0.05 s cores keep each dispatch's (760, T) block inside the
+            # remote compiler's working range; 512 symbols covers the
+            # capture's largest bursts
             extra["scale_band_760ch"] = run_config(
-                760, 1.0, 2, args.max_symbols, args.max_candidates,
+                760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
                 fs=20_000_000, base=118_500_000, chan_impl="dft",
+                block_seconds=0.05,
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)
