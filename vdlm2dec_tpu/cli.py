@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="boxcar = reference-parity integrate-and-dump; "
                         "fir = windowed-sinc with >60 dB adjacent-channel "
                         "rejection")
+    p.add_argument("--chan-impl", default="matmul",
+                   choices=["matmul", "dft"],
+                   help="dft = residue-space channelizer (25/84 the FLOPs, "
+                        "scales to whole-band channel counts; needs "
+                        "raster-aligned offsets, boxcar mode)")
 
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-q", dest="quiet", action="store_true")
@@ -165,6 +170,7 @@ def main(argv=None) -> int:
         mesh=mesh,
         use_pallas=args.pallas,
         filter_mode=args.channel_filter,
+        chan_impl=args.chan_impl,
     )
     pipe = Pipeline(cfg)
 
