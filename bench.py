@@ -381,14 +381,15 @@ def main():
             # the residue-space channelizer is the only formulation that
             # scales here: the dense mix would materialize a (760, B,
             # 20000) intermediate (~60 GB/s of capture)
-            # 0.05 s cores keep each dispatch's (760, T) block inside the
-            # remote compiler's working range; 512 symbols covers the
-            # capture's largest bursts
+            # 0.2 s cores keep each dispatch's (760, T) block inside the
+            # remote compiler's working range (the optimization_barrier in
+            # _device_decode_packed buys 4x over the first cut); 512
+            # symbols covers the capture's largest bursts
             extra["scale_band_760ch"] = run_config(
                 760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
                 fs=20_000_000, base=118_500_000, chan_impl="dft",
-                block_seconds=0.05,
+                block_seconds=0.2,
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)

@@ -241,3 +241,25 @@ def test_header_decode_batch():
         want.append(g_len)
     length, nbrow, nlbyte, ok = header.header_decode(jnp.asarray(np.stack(softs)))
     np.testing.assert_array_equal(np.asarray(length), want)
+
+
+def test_sync_scan_chunked_matches_dense():
+    """The lax.map-chunked sync scan (engaged above the dense element
+    limit) matches the dense formulation to float-reassociation level."""
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.ops import demod
+
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (3, 20000)).astype(np.float32))
+    dense = demod._sync_scan_core(jnp.pad(p0, ((0, 0), (128, 0))), 20000)
+    limit = demod._SYNC_DENSE_LIMIT
+    try:
+        demod._SYNC_DENSE_LIMIT = 1
+        chunked = demod.sync_scan(p0)
+    finally:
+        demod._SYNC_DENSE_LIMIT = limit
+    for a, b in zip(dense, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-4)

@@ -95,17 +95,9 @@ def phase_of(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(f[..., 1], f[..., 0])
 
 
-def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sync residual + slope at every position.
-
-    p0: (C, T) phase of polyphase-0 filter output.
-    Returns (err, fr): (C, T) each; position t uses the 17 phases at
-    t-128, t-120, ..., t (symbol stride 8), i.e. the window *ending* at t.
-    Entries with t < 128 are garbage (caller masks).
-    """
-    c, t = p0.shape
-    pad = jnp.pad(p0, ((0, 0), (128, 0)))
-    # a[l] windows: (C, 17, T)
+def _sync_scan_core(pad: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sync metric over a left-padded phase block: pad (C, 128+t) -> the
+    (err, fr) of the t positions whose windows end inside the block."""
     idx = jnp.arange(t)[None, :] + jnp.arange(0, 17 * 8, 8)[:, None]  # (17, T)
     a = pad[:, idx] - jnp.asarray(_SW32)[None, :, None]               # (C,17,T)
     pd = a[:, 1:, :] - a[:, :-1, :]
@@ -118,6 +110,39 @@ def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     fr = jnp.sum(prc * l8, axis=1) / _SLOPE_NORM                      # (C, T)
     e = prc - l8 * fr[:, None, :]
     err = jnp.sum(e * e, axis=1)
+    return err, fr
+
+
+# dense sync scan materializes (C, 17, T) windows (x several temporaries);
+# past this element count, chunk the time axis through lax.map so peak
+# memory — and the remote compiler's appetite — stays bounded
+_SYNC_DENSE_LIMIT = 8_000_000
+_SYNC_CHUNK = 8192
+
+
+def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sync residual + slope at every position.
+
+    p0: (C, T) phase of polyphase-0 filter output.
+    Returns (err, fr): (C, T) each; position t uses the 17 phases at
+    t-128, t-120, ..., t (symbol stride 8), i.e. the window *ending* at t.
+    Entries with t < 128 are garbage (caller masks).
+    """
+    c, t = p0.shape
+    pad = jnp.pad(p0, ((0, 0), (128, 0)))
+    if c * t <= _SYNC_DENSE_LIMIT:
+        return _sync_scan_core(pad, t)
+    # chunked: identical math per window, sequenced over time chunks
+    n_chunk = -(-t // _SYNC_CHUNK)
+    pad = jnp.pad(pad, ((0, 0), (0, n_chunk * _SYNC_CHUNK - t)))
+    starts = jnp.arange(n_chunk) * _SYNC_CHUNK
+    win_idx = starts[:, None] + jnp.arange(128 + _SYNC_CHUNK)[None, :]
+    wins = pad[:, win_idx].transpose(1, 0, 2)      # (n_chunk, C, 128+chunk)
+    err, fr = jax.lax.map(
+        lambda w: _sync_scan_core(w, _SYNC_CHUNK), wins
+    )                                              # (n_chunk, C, chunk)
+    err = err.transpose(1, 0, 2).reshape(c, -1)[:, :t]
+    fr = fr.transpose(1, 0, 2).reshape(c, -1)[:, :t]
     return err, fr
 
 

@@ -128,6 +128,10 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     dfs = df.reshape(n)[order]
     live = valid.reshape(n)[order]
 
+    # fusion fence: without it XLA tries to rematerialize the channelizer/
+    # filter producers inside the per-candidate gather loops, which blows
+    # the compiler at whole-band shapes (hundreds of channels)
+    y, f = jax.lax.optimization_barrier((y, f))
     soft = demod_candidates_flat(y, chan, t0s, ofs, dfs, max_symbols, f)
     length, nbrow, nlbyte, ok = header_decode(soft[:, :25])
     need = 8 * MAX_TX_BYTES
