@@ -78,3 +78,26 @@ def test_large_cfo_tolerance():
         assert len(bursts) == 1, f"CFO {cfo} Hz failed"
         ppm_true = cfo / 136.975e6 * 1e6
         assert bursts[0].ppm == pytest.approx(ppm_true, abs=0.5)
+
+
+@pytest.mark.parametrize("cfo_hz", [-400.0, -150.0, 150.0, 400.0])
+def test_cfo_tolerance_and_ppm_estimate(cfo_hz):
+    """Bursts with carrier-frequency offset decode (the sync LS slope
+    absorbs CFO, d8psk.c:260-283) and the per-burst ppm estimate
+    (d8psk.c:302) recovers the injected offset."""
+    rng = np.random.default_rng(int(abs(cfo_hz)))
+    freq = 136_975_000.0
+    cfg = PipelineConfig(freqs_hz=[freq], fc_hz=136_900_000.0,
+                         max_symbols=512, max_candidates=4)
+    pipe = Pipeline(cfg)
+    content = rng.integers(0, 256, 30).astype(np.uint8)
+    plan = mod.make_burst([content])
+    sig = mod.synthesize_baseband(plan, start=400, total=2500,
+                                  cfo_hz=cfo_hz)
+    sig = mod.awgn(sig, 15.0, rng)
+    bursts = pipe.decode_channels(sig[None, :].astype(np.complex64))
+    ok = [b for b in bursts
+          if any(np.array_equal(f[1:-3], content) for f in b.frames)]
+    assert ok, f"no decode at {cfo_hz} Hz CFO"
+    want_ppm = cfo_hz / freq * 1e6
+    assert ok[0].ppm == pytest.approx(want_ppm, abs=0.35)
