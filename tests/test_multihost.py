@@ -72,3 +72,38 @@ def test_two_process_seam_matches_single_process(capture):
     assert seam_frames and seam_frames <= by_proc[0]
     # p1 emits the burst in its own region
     assert any(f[1] > SEAM for f in by_proc[1])
+
+
+def test_windowed_streaming_matches_oneshot(tmp_path):
+    """Worker --block-seconds streams overlapping windows across the mesh
+    (constant memory/host); a burst near a window boundary decodes
+    identically to the one-shot decode of the whole capture."""
+    from vdlm2dec_tpu import modulator as mod2
+    from vdlm2dec_tpu.io.sdr import write_capture
+
+    rng = np.random.default_rng(17)
+    fs = 2_000_000
+    # 3 windows of 0.25 s; p_in=2000 -> core_p=250
+    t_raw = 3 * 250 * 2000
+    total_dec = t_raw * 84 // 2000
+    sig = np.zeros(total_dec, dtype=np.complex128)
+    # burst 2 triggers just before the first window boundary (21000 dec)
+    for st, nb in ((3000, 30), (20_700, 40), (47_000, 25)):
+        c = rng.integers(0, 256, nb).astype(np.uint8)
+        sig += mod2.synthesize_baseband(mod2.make_burst([c]), start=st,
+                                        total=total_dec)
+    wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 30
+    wide += rng.normal(size=t_raw) + 1j * rng.normal(size=t_raw)
+    cap = str(tmp_path / "mh_stream.cu8")
+    write_capture(cap, wide, "cu8")
+
+    base = ["--iq", cap, "--fc", "136900000", "136.975",
+            "--time-shards", "8", "--max-symbols", "512",
+            "--max-candidates", "4"]
+    outs_stream = launch_local(2, base + ["--block-seconds", "0.25"],
+                               local_devices=4)
+    outs_oneshot = launch_local(2, base, local_devices=4)
+    streamed, _ = _frames(outs_stream)
+    oneshot, _ = _frames(outs_oneshot)
+    assert len(oneshot) == 3
+    assert streamed == oneshot

@@ -126,6 +126,9 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--max-candidates", type=int, default=8)
     ap.add_argument("--max-symbols", type=int, default=256)
     ap.add_argument("--max-out", type=int, default=64)
+    ap.add_argument("--block-seconds", type=float, default=0.0,
+                    help="stream the capture in windows of this length "
+                         "(constant memory per host; 0 = one-shot)")
     args = ap.parse_args(argv)
 
     import jax
@@ -144,12 +147,31 @@ def _worker_main(argv=None) -> int:
         "time shards must divide evenly across processes"
     )
 
+    dec = MultiHostDecoder(
+        mesh,
+        max_candidates=args.max_candidates,
+        max_symbols=args.max_symbols,
+        max_out=args.max_out,
+    )
+
+    from ..pipeline import Pipeline, PipelineConfig
+
+    prev_end: dict[int, int] = {}
+
+    def emit(pipe, cands, t_off):
+        for b in pipe._finish(cands, t_offset=t_off, prev_end=prev_end):
+            for fr in b.frames:
+                print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}",
+                      flush=True)
+
     if args.y_npy is not None:
         y = np.load(args.y_npy)                      # (C, T) complex
         t_local = y.shape[1] // args.num_processes
         lo = args.process_id * t_local
         y_local = y[:, lo : lo + t_local]
         freqs_hz = [0.0] * y.shape[0]
+        cands_blocks = [(dec.decode_local(y_local), 0)]
+        n_cands = len(cands_blocks[0][0])
     else:
         from ..io.sdr import CaptureReader, choose_fc
         from ..ops.channelizer import Channelizer
@@ -160,33 +182,65 @@ def _worker_main(argv=None) -> int:
         )
         reader = CaptureReader(args.iq, "cu8")
         ch = Channelizer([f - fc for f in freqs_hz], fs=args.fs)
-        # local time slice on exact channelizer-period boundaries
-        periods = len(reader) // ch.p_in
-        per_host = periods // args.num_processes
-        per_host -= per_host % t_shards_per_host
-        lo_p = args.process_id * per_host
-        x = reader.read(lo_p * ch.p_in, per_host * ch.p_in)
-        y_local = np.asarray(ch(x, period0=lo_p))    # (C, T_local, 2)
+        p_in, p_out = ch.p_in, ch.p_out
+        periods = len(reader) // p_in
+        n_cands = 0
+        cands_blocks = []
 
-    dec = MultiHostDecoder(
-        mesh,
-        max_candidates=args.max_candidates,
-        max_symbols=args.max_symbols,
-        max_out=args.max_out,
-    )
-    cands = dec.decode_local(y_local)
+        def decode_span(lo_p: int, span_p: int):
+            """Decode [lo_p, lo_p+span_p) periods across the mesh: this
+            process channelizes only ITS period sub-slice (local file
+            read, no cross-host raw traffic) and keeps its shards'
+            candidates."""
+            per_host = span_p // args.num_processes
+            my_lo = lo_p + args.process_id * per_host
+            x = reader.read(my_lo * p_in, per_host * p_in)
+            y_local = np.asarray(ch(x, period0=my_lo))
+            return dec.decode_local(y_local)
 
-    from ..pipeline import Pipeline, PipelineConfig
+        pipe = Pipeline(PipelineConfig(
+            freqs_hz=freqs_hz, fs=args.fs, fc_hz=float(fc),
+            max_symbols=args.max_symbols,
+        ))
+        if not args.block_seconds:
+            per_host = periods // args.num_processes
+            per_host -= per_host % t_shards_per_host
+            span_p = per_host * args.num_processes
+            cands = decode_span(0, span_p)
+            emit(pipe, cands, 0)
+            n_cands = len(cands)
+        else:
+            # windowed streaming: overlapping extended windows (core +
+            # halo margins, like the single-host stream); window-edge
+            # shards see zero halos only in regions the core filter
+            # discards, so every owned burst has real margins; memory per
+            # host = one window slice
+            align = args.num_processes * t_shards_per_host
+            lmarg_p = -(-160 // p_out)
+            rmarg_p = -(-(24 + 8 * args.max_symbols) // p_out)
+            core_p = max(1, int(args.block_seconds * args.fs) // p_in)
+            total_p = lmarg_p + core_p + rmarg_p
+            total_p += (-total_p) % align
+            lmarg_dec = lmarg_p * p_out
+            core_dec = core_p * p_out
+            n_win = -(-periods // core_p)
+            for wi in range(n_win):
+                cands = decode_span(wi * core_p - lmarg_p, total_p)
+                cands = [cd for cd in cands
+                         if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+                emit(pipe, cands, wi * core_dec - lmarg_dec)
+                n_cands += len(cands)
+        print(f"DONE {args.process_id} {n_cands}", flush=True)
+        return 0
 
     pipe = Pipeline(PipelineConfig(
         freqs_hz=freqs_hz or [136_975_000.0],
         fs=args.fs, fc_hz=args.fc or 0.0,
         max_symbols=args.max_symbols,
     ))
-    for b in pipe._finish(cands, t_offset=0):
-        for fr in b.frames:
-            print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}", flush=True)
-    print(f"DONE {args.process_id} {len(cands)}", flush=True)
+    for cands, t_off in cands_blocks:
+        emit(pipe, cands, t_off)
+    print(f"DONE {args.process_id} {n_cands}", flush=True)
     return 0
 
 
