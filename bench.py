@@ -378,7 +378,10 @@ def main():
                 )
             except Exception as e:          # never lose the primary metric
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
-    if args.band:
+    if args.band and time.perf_counter() - t_start > args.budget_s:
+        print("# budget exceeded, skipping whole-band config",
+              file=sys.stderr)
+    elif args.band:
         try:
             # the residue-space channelizer is the only formulation that
             # scales here: the dense mix would materialize a (760, B,

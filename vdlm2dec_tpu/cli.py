@@ -131,6 +131,14 @@ def main(argv=None) -> int:
     if not freqs:
         print("Need at least one valid frequency (118-138 MHz)", file=sys.stderr)
         return 1
+    if args.chan_impl == "dft" and args.pallas:
+        print("--chan-impl dft replaces the Pallas ingest kernel; "
+              "drop --pallas", file=sys.stderr)
+        return 1
+    if args.chan_impl == "dft" and args.channel_filter != "boxcar":
+        print("--chan-impl dft requires the boxcar channel filter",
+              file=sys.stderr)
+        return 1
 
     real_input = args.format == "f32real"
     try:

@@ -125,6 +125,8 @@ def _group_lines(tag: int, name: str, data: bytes) -> list[str]:
     if tag == 4:
         return [f"  {name}: contract request {data[0]} reason {data[1]}"]
     if tag == 5:
+        if not data:
+            return [f"  truncated {name}"]
         n_grp = data[1] if len(data) > 1 else 0
         grps = ", ".join(
             f"tag {data[2 + 2 * k]} reason {data[3 + 2 * k]}"

@@ -84,8 +84,8 @@ def stream_raw_blocks(source, fmt: str, samples_per_block: int,
     """Fused fast path: yield fixed-size NATIVE-dtype raw blocks (the
     device does the format conversion).  The final partial block is padded
     with the format's neutral value (127 for cu8, 0 otherwise).  counter
-    (optional [int]) accumulates the number of REAL items read, so callers
-    can distinguish stream data from padding."""
+    (optional [int]) is SET to the running number of REAL items read, so
+    callers can distinguish stream data from padding."""
     if isinstance(source, str):
         fh = sys.stdin.buffer if source == "-" else open(source, "rb")
     else:
@@ -95,13 +95,17 @@ def stream_raw_blocks(source, fmt: str, samples_per_block: int,
     pad = (np.full(1, 127, dt) if fmt == "cu8"
            else np.zeros(1, dt)).tobytes()
     carry = b""
+    total_bytes = 0
     while True:
         chunk = fh.read(want - len(carry))
         if not chunk:
             break
         carry += chunk
         if counter is not None:
-            counter[0] += len(chunk) // dt.itemsize
+            # cumulative-bytes delta: per-chunk floor division would drop
+            # a partial item at every read boundary
+            total_bytes += len(chunk)
+            counter[0] = total_bytes // dt.itemsize
         if len(carry) < want:
             continue
         yield np.frombuffer(carry, dtype=dt)

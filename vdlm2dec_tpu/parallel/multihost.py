@@ -215,12 +215,11 @@ def _worker_main(argv=None) -> int:
             # shards see zero halos only in regions the core filter
             # discards, so every owned burst has real margins; memory per
             # host = one window slice
-            align = args.num_processes * t_shards_per_host
-            lmarg_p = -(-160 // p_out)
-            rmarg_p = -(-(24 + 8 * args.max_symbols) // p_out)
-            core_p = max(1, int(args.block_seconds * args.fs) // p_in)
-            total_p = lmarg_p + core_p + rmarg_p
-            total_p += (-total_p) % align
+            from ..pipeline import stream_geometry
+
+            lmarg_p, _rm, core_p, total_p = stream_geometry(
+                p_in, p_out, args.fs, args.max_symbols, args.block_seconds,
+                align=args.num_processes * t_shards_per_host)
             lmarg_dec = lmarg_p * p_out
             core_dec = core_p * p_out
             n_win = -(-periods // core_p)

@@ -242,8 +242,9 @@ _wideband_u8_decode_jit = jax.jit(
 
 
 def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
-                             max_candidates: int, max_symbols: int,
-                             max_out: int, fmt: str = "cu8",
+                             p_in: int, max_candidates: int,
+                             max_symbols: int, max_out: int,
+                             fmt: str = "cu8",
                              core_start: int = 0, core_len: int = 0):
     """Fused device program with the residue-space channelizer: native raw
     IQ -> gather into (B, tbl, 84) residue space -> one (C, tbl) matmul ->
@@ -252,9 +253,7 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
     (C, B, P_in) intermediate — the path that scales to the whole band."""
     from .ops.channelizer import _channelize_dft_jit
 
-    tbl, p_out = idx.shape
     if fmt == "f32real":
-        p_in = 25 * tbl
         b = raw.shape[0] // p_in
         x_r = raw.astype(jnp.float32).reshape(b, p_in)
         x_i = jnp.zeros_like(x_r)
@@ -262,7 +261,6 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
         x = raw.astype(jnp.float32)
         if fmt == "cu8":
             x = x - dc_offset
-        p_in = 25 * tbl
         b = x.shape[0] // 2 // p_in
         x_r = x[0::2].reshape(b, p_in)
         x_i = x[1::2].reshape(b, p_in)
@@ -274,8 +272,8 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
 
 _wideband_raw_decode_dft_jit = jax.jit(
     _wideband_raw_decode_dft,
-    static_argnames=("max_candidates", "max_symbols", "max_out", "fmt",
-                     "core_start", "core_len"),
+    static_argnames=("p_in", "max_candidates", "max_symbols", "max_out",
+                     "fmt", "core_start", "core_len"),
 )
 
 # samples per LO period -> raw array items per period, and the neutral pad
@@ -286,6 +284,74 @@ RAW_FMT = {
     "cf32": (2, 0.0),
     "f32real": (1, 0.0),
 }
+
+
+def stream_geometry(p_in: int, p_out: int, fs: int, max_symbols: int,
+                    block_seconds: float, align: int = 1
+                    ) -> tuple[int, int, int, int]:
+    """(lmarg_p, rmarg_p, core_p, total_p): streaming block geometry in
+    channelizer periods, SHARED by every streaming path (single-host,
+    live, multi-host) so block edges always agree.  Left halo covers the
+    filter ring + sync window (>=160 decimated = parallel.sharding's
+    HALO_LEFT); right halo one max burst window; total_p rounded up to
+    align (Pallas ingest or mesh-shard granularity), absorbed into the
+    right margin."""
+    lmarg_p = -(-160 // p_out)
+    rmarg_p = -(-(24 + 8 * max_symbols) // p_out)
+    core_p = max(1, int(block_seconds * fs) // p_in)
+    total_p = lmarg_p + core_p + rmarg_p
+    total_p += (-total_p) % align
+    rmarg_p = total_p - lmarg_p - core_p
+    return lmarg_p, rmarg_p, core_p, total_p
+
+
+def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
+                    core_start: int, core_len: int):
+    """Dispatch one fused-ingest block (SHARED by the synchronous path and
+    PipelinedDecoder): trims raw to the alignment, advances the LO cursor,
+    and invokes the matmul or residue-space device program.  Returns the
+    device buffer (not fetched)."""
+    from .io.sdr import RTL_DC_OFFSET
+    from .ops.channelizer import period_phases
+
+    ch = pipe.channelizer
+    per, _pad = RAW_FMT[fmt]
+    t = len(raw) // per
+    align = ch.p_in * (32 if pipe.cfg.use_pallas else 1)
+    t -= t % align
+    b = t // ch.p_in
+    ph = period_phases(
+        ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
+    )
+    ch._period_cursor += b
+    if ch.impl == "dft":
+        return _wideband_raw_decode_dft_jit(
+            jnp.asarray(raw[: per * t]),
+            ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+            jnp.float32(RTL_DC_OFFSET),
+            ch.p_in,
+            pipe.cfg.max_candidates,
+            pipe.cfg.max_symbols,
+            pipe._max_out(),
+            fmt,
+            core_start,
+            core_len,
+        )
+    return _wideband_u8_decode_jit(
+        jnp.asarray(raw[: per * t]),
+        ch._lo_r, ch._lo_i,
+        jnp.asarray(np.ascontiguousarray(ph.real)),
+        jnp.asarray(np.ascontiguousarray(ph.imag)),
+        ch._a,
+        jnp.float32(RTL_DC_OFFSET),
+        pipe.cfg.max_candidates,
+        pipe.cfg.max_symbols,
+        pipe._max_out(),
+        pipe.cfg.use_pallas,
+        fmt,
+        core_start,
+        core_len,
+    )
 
 
 def packed_stats(buf: np.ndarray) -> dict:
@@ -458,51 +524,11 @@ class Pipeline:
         4 f32real).  core_start/core_len restrict ownership to the core
         region (streaming margins) on device; t0 returns core-relative.
         """
-        from .io.sdr import RTL_DC_OFFSET
-        from .ops.channelizer import period_phases
-
-        ch = self.channelizer
-        per, _pad = RAW_FMT[fmt]
-        t = len(raw) // per
-        align = ch.p_in * (32 if self.cfg.use_pallas else 1)
-        t -= t % align
-        raw = raw[: per * t]
-        b = t // ch.p_in
-        ph = period_phases(
-            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
-        )
-        ch._period_cursor += b
         import time as _time
 
         t_start = _time.perf_counter()
-        if ch.impl == "dft":
-            buf = np.asarray(_wideband_raw_decode_dft_jit(
-                jnp.asarray(raw),
-                ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
-                jnp.float32(RTL_DC_OFFSET),
-                self.cfg.max_candidates,
-                self.cfg.max_symbols,
-                self._max_out(),
-                fmt,
-                core_start,
-                core_len,
-            ))
-        else:
-            buf = np.asarray(_wideband_u8_decode_jit(
-                jnp.asarray(raw),
-                ch._lo_r, ch._lo_i,
-                jnp.asarray(np.ascontiguousarray(ph.real)),
-                jnp.asarray(np.ascontiguousarray(ph.imag)),
-                ch._a,
-                jnp.float32(RTL_DC_OFFSET),
-                self.cfg.max_candidates,
-                self.cfg.max_symbols,
-                self._max_out(),
-                self.cfg.use_pallas,
-                fmt,
-                core_start,
-                core_len,
-            ))
+        buf = np.asarray(
+            _dispatch_fused(self, raw, fmt, core_start, core_len))
         self._observe_packed(buf, _time.perf_counter() - t_start)
         return unpack_results(buf)
 
@@ -533,9 +559,8 @@ class Pipeline:
         """
         ch = self.channelizer
         p_in, p_out = ch.p_in, ch.p_out
-        lmarg_p = -(-160 // p_out)                     # >=160 decimated
-        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
-        core_p = self.core_raw_samples(block_seconds) // p_in
+        lmarg_p, rmarg_p, core_p, _ = stream_geometry(
+            p_in, p_out, self.cfg.fs, self.cfg.max_symbols, block_seconds)
         lmarg_dec, core_dec = lmarg_p * p_out, core_p * p_out
         t = len(x)
         n_core = -(-t // (core_p * p_in))
@@ -596,15 +621,9 @@ class Pipeline:
         ch = self.channelizer
         per, pad_val = RAW_FMT[fmt]
         p_in, p_out = ch.p_in, ch.p_out
-        align = 32 if self.cfg.use_pallas else 1
-        # margins in whole periods
-        lmarg_p = -(-160 // p_out)                     # >=160 decimated
-        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
-        core_p = self.core_raw_samples(block_seconds) // p_in
-        # round the EXTENDED block to the pallas alignment
-        total_p = lmarg_p + core_p + rmarg_p
-        total_p += (-total_p) % align
-        rmarg_p = total_p - lmarg_p - core_p
+        lmarg_p, rmarg_p, core_p, total_p = stream_geometry(
+            p_in, p_out, self.cfg.fs, self.cfg.max_symbols, block_seconds,
+            align=32 if self.cfg.use_pallas else 1)
         lmarg_dec = lmarg_p * p_out
         core_dec = core_p * p_out
 
@@ -713,13 +732,9 @@ class Pipeline:
         ch = self.channelizer
         per, pad_val = RAW_FMT[fmt]
         p_in, p_out = ch.p_in, ch.p_out
-        align = 32 if self.cfg.use_pallas else 1
-        lmarg_p = -(-160 // p_out)
-        rmarg_p = -(-(24 + 8 * self.cfg.max_symbols) // p_out)
-        core_p = self.core_raw_samples(block_seconds) // p_in
-        total_p = lmarg_p + core_p + rmarg_p
-        total_p += (-total_p) % align
-        rmarg_p = total_p - lmarg_p - core_p
+        lmarg_p, rmarg_p, core_p, total_p = stream_geometry(
+            p_in, p_out, self.cfg.fs, self.cfg.max_symbols, block_seconds,
+            align=32 if self.cfg.use_pallas else 1)
         lmarg_dec, core_dec = lmarg_p * p_out, core_p * p_out
         items_p = p_in * per                 # raw array items per period
         dtype = np.uint8 if fmt == "cu8" else (
@@ -926,46 +941,8 @@ class PipelinedDecoder:
             yield r
 
     def _dispatch(self, raw: np.ndarray):
-        from .io.sdr import RTL_DC_OFFSET
-        from .ops.channelizer import period_phases
-
-        ch = self.pipe.channelizer
-        per, _pad = RAW_FMT[self.fmt]
-        t = len(raw) // per
-        align = ch.p_in * (32 if self.pipe.cfg.use_pallas else 1)
-        t -= t % align
-        b = t // ch.p_in
-        ph = period_phases(
-            ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
-        )
-        ch._period_cursor += b
-        if ch.impl == "dft":
-            return _wideband_raw_decode_dft_jit(
-                jnp.asarray(raw[: per * t]),
-                ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
-                jnp.float32(RTL_DC_OFFSET),
-                self.pipe.cfg.max_candidates,
-                self.pipe.cfg.max_symbols,
-                self.pipe._max_out(),
-                self.fmt,
-                self.core_start,
-                self.core_len,
-            )
-        return _wideband_u8_decode_jit(
-            jnp.asarray(raw[: per * t]),
-            ch._lo_r, ch._lo_i,
-            jnp.asarray(np.ascontiguousarray(ph.real)),
-            jnp.asarray(np.ascontiguousarray(ph.imag)),
-            ch._a,
-            jnp.float32(RTL_DC_OFFSET),
-            self.pipe.cfg.max_candidates,
-            self.pipe.cfg.max_symbols,
-            self.pipe._max_out(),
-            self.pipe.cfg.use_pallas,
-            self.fmt,
-            self.core_start,
-            self.core_len,
-        )
+        return _dispatch_fused(self.pipe, raw, self.fmt,
+                               self.core_start, self.core_len)
 
     def submit(self, raw: np.ndarray):
         """Dispatch a block; yields any already-completed blocks' candidates
