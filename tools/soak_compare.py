@@ -4,6 +4,7 @@ compiled reference binary; compares decoded-frame sets.
 
 Measured on a 10 s / 2-channel / 125-burst capture (2026-08, this repo):
   reference: 122/125   ours: 125/125 (strict superset)
+  --dft (residue-space channelizer): identical 125/125 superset
 The 3 extra frames are bursts arriving shortly after a previous burst ends:
 the serial reference re-enters sync search with a stale frozen phase ring
 (d8psk.c Ph is not updated during a burst) and misses them; the vectorised
@@ -63,9 +64,10 @@ r = subprocess.run(
 ref = [json.loads(l) for l in r.stdout.splitlines() if l.strip().startswith("{")]
 print(f"reference decoded: {len(ref)}", flush=True)
 
-# ours (u8 fast path)
+# ours (u8 fast path; --dft: residue-space channelizer)
+impl = "dft" if "--dft" in sys.argv else "matmul"
 cfg = PipelineConfig(freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
-                     max_symbols=1024, max_candidates=32)
+                     max_symbols=1024, max_candidates=32, chan_impl=impl)
 pipe = Pipeline(cfg)
 buf = io.StringIO()
 dec = FrameDecoder(OutputConfig(verbose=0, jsonout=True, logfile=buf))
