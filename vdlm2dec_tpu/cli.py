@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture start unix time (default: now)")
     p.add_argument("--stats", action="store_true",
                    help="print per-stage metrics JSON to stderr at end")
+    p.add_argument("--stats-interval", type=float, default=0.0,
+                   help="also print the metrics JSON to stderr every N "
+                        "seconds while decoding (long/live jobs)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file: resume from it and update per block")
     p.add_argument("--pallas", action="store_true",
@@ -214,6 +217,17 @@ def main(argv=None) -> int:
             prev_end = {int(k): int(v)
                         for k, v in extra.get("prev_end", {}).items()}
 
+    import time as _time
+
+    last_stats = _time.monotonic()
+
+    def periodic_stats():
+        nonlocal last_stats
+        if (args.stats_interval
+                and _time.monotonic() - last_stats >= args.stats_interval):
+            last_stats = _time.monotonic()
+            print(metrics.report(), file=sys.stderr)
+
     if args.iq == "-":
         # live pipe: rtl_sdr/airspy_rx | vdlm2t ... --iq -
         n_frames = 0
@@ -225,6 +239,7 @@ def main(argv=None) -> int:
                 for b in bursts:
                     dec.process_burst(b)
                     n_frames += len(b.frames)
+                periodic_stats()
         except KeyboardInterrupt:
             # drain-and-exit semantics (sighandler -> stopVdlm2,
             # main.c:106-110): in-flight host work is already flushed
@@ -279,6 +294,7 @@ def main(argv=None) -> int:
                 cursor = min((start_block + k + 1) * core_raw, total_samples)
                 save_checkpoint(args.checkpoint, cursor, dec.flights,
                                 extra={"prev_end": prev_end})
+            periodic_stats()
     except KeyboardInterrupt:
         pass
     metrics.frames_emitted = dec.stats.acars + dec.stats.xid
