@@ -101,3 +101,46 @@ def test_cfo_tolerance_and_ppm_estimate(cfo_hz):
     assert ok, f"no decode at {cfo_hz} Hz CFO"
     want_ppm = cfo_hz / freq * 1e6
     assert ok[0].ppm == pytest.approx(want_ppm, abs=0.35)
+
+
+def test_snr_sweep_64_channels():
+    """BASELINE config 4 shape: 64 channels decoding simultaneously with
+    per-channel SNR varied across the 2-20 dB band; high-SNR channels all
+    decode, threshold channels degrade gracefully, and channel identity is
+    preserved (no cross-channel leakage of decoded frames)."""
+    rng = np.random.default_rng(9)
+    n_chan, t = 64, 3000
+    snrs = np.linspace(2.0, 20.0, n_chan)
+    y = np.zeros((n_chan, t), dtype=np.complex128)
+    contents = {}
+    for ci in range(n_chan):
+        c = rng.integers(0, 256, 24).astype(np.uint8)
+        contents[ci] = c
+        sig = mod.synthesize_baseband(mod.make_burst([c]), start=500,
+                                      total=t)
+        y[ci] = mod.awgn(sig, float(snrs[ci]), rng)
+
+    freqs = [118_025_000.0 + 25_000 * 12 * ci for ci in range(n_chan)]
+    cfg = PipelineConfig(freqs_hz=freqs, fc_hz=128_000_000.0,
+                         max_symbols=512, max_candidates=4)
+    pipe = Pipeline(cfg)
+    bursts = pipe.decode_channels(y.astype(np.complex64))
+    ok = {
+        b.channel
+        for b in bursts
+        if any(np.array_equal(f[1:-3], contents[b.channel])
+               for f in b.frames)
+    }
+    high = {ci for ci in range(n_chan) if snrs[ci] >= 12.0}
+    assert high <= ok, f"missing high-SNR channels: {sorted(high - ok)}"
+    mid = [ci for ci in range(n_chan) if 6.0 <= snrs[ci] < 12.0]
+    assert sum(ci in ok for ci in mid) >= len(mid) * 0.6, (
+        "threshold-region recall collapsed"
+    )
+    # no frame may appear on a channel it was not transmitted on
+    for b in bursts:
+        for f in b.frames:
+            body = f[1:-3]
+            for ci, c in contents.items():
+                if ci != b.channel and np.array_equal(body, c):
+                    raise AssertionError("cross-channel frame leakage")
