@@ -13,9 +13,17 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # this environment's sitecustomize registers a TPU plugin that
+    # overrides the env var; only the config update takes effect
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
