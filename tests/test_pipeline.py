@@ -202,3 +202,31 @@ def test_dft_channelizer_matches_matmul():
         )
     assert len(frames["matmul"]) == 1
     assert frames["dft"] == frames["matmul"]
+
+
+def test_chunked_demod_matches_dense():
+    """The lax.map-chunked per-candidate demod (engaged above
+    DEMOD_CHUNK_GATE, needed for whole-band compiles) produces the same
+    packed rows as the dense vmap."""
+    import vdlm2dec_tpu.pipeline as P
+
+    rng = np.random.default_rng(33)
+    t = 9000
+    sig = np.zeros(t, dtype=np.complex128)
+    for st in (500, 3500, 6200):
+        c = rng.integers(0, 256, 25).astype(np.uint8)
+        sig += mod.synthesize_baseband(mod.make_burst([c]), start=st,
+                                       total=t)
+    sig = mod.awgn(sig, 14.0, rng)
+    y = np.stack([sig, sig]).astype(np.complex64)
+    from vdlm2dec_tpu.ops.demod import pack_complex
+
+    yp = pack_complex(y)
+    dense = np.asarray(P._device_decode_packed(yp, 32, 256, 64))
+    gate = P.DEMOD_CHUNK_GATE
+    try:
+        P.DEMOD_CHUNK_GATE = 1           # force the chunked branch
+        chunked = np.asarray(P._device_decode_packed(yp, 32, 256, 64))
+    finally:
+        P.DEMOD_CHUNK_GATE = gate
+    np.testing.assert_array_equal(dense, chunked)

@@ -92,6 +92,11 @@ class PipelineConfig:
 #               (triggers dropped because they exceeded max_out slots)
 PACKED_ROW_BYTES = 2040 + 8 + 48
 
+# above this (channels x samples) element count, the per-candidate demod
+# vmap runs in lax.map chunks of 32 (the all-at-once gather breaks the
+# remote compiler at whole-band block shapes)
+DEMOD_CHUNK_GATE = 8_000_000
+
 
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
                           max_out: int, chan_base=0,
@@ -132,7 +137,20 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     # filter producers inside the per-candidate gather loops, which blows
     # the compiler at whole-band shapes (hundreds of channels)
     y, f = jax.lax.optimization_barrier((y, f))
-    soft = demod_candidates_flat(y, chan, t0s, ofs, dfs, max_symbols, f)
+    big = y.shape[0] * y.shape[1] > DEMOD_CHUNK_GATE
+    if big and m > 32 and m % 32 == 0:
+        # chunk the candidate vmap through lax.map: the all-at-once gather
+        # over a near-GB filter tensor is the op that kills the remote
+        # compiler past (760, ~21000)-sample blocks
+        def _chunk(a):
+            return demod_candidates_flat(y, a[0], a[1], a[2], a[3],
+                                         max_symbols, f)
+        soft = jax.lax.map(
+            _chunk, (chan.reshape(-1, 32), t0s.reshape(-1, 32),
+                     ofs.reshape(-1, 32), dfs.reshape(-1, 32))
+        ).reshape(m, -1)
+    else:
+        soft = demod_candidates_flat(y, chan, t0s, ofs, dfs, max_symbols, f)
     length, nbrow, nlbyte, ok = header_decode(soft[:, :25])
     need = 8 * MAX_TX_BYTES
     data_soft = soft[:, 25 : 25 + need]
