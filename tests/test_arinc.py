@@ -255,3 +255,70 @@ def test_h1_sublabel_strip():
     node = arinc.arinc_decode("#T1" + body, "H1", "2", oooi)
     assert node is not None and node.app == "cpdlc"
     assert oooi.alt == 5000
+
+
+def test_fans_roundtrip_fuzz():
+    """Property fuzz: any encodable DM48 message round-trips exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    for _ in range(200):
+        n_rep = int(rng.integers(1, 5))
+        reports = []
+        for _k in range(n_rep):
+            enc, lo, hi, conv = fans.ALTITUDE_CHOICES[
+                int(rng.integers(0, 8))]
+            reports.append(dict(
+                latlon=latlon(int(rng.integers(0, 91)),
+                              None if rng.random() < 0.3
+                              else int(rng.integers(0, 600)),
+                              bool(rng.integers(0, 2)),
+                              int(rng.integers(0, 181)),
+                              None if rng.random() < 0.3
+                              else int(rng.integers(0, 600)),
+                              bool(rng.integers(0, 2))),
+                hours=int(rng.integers(0, 24)),
+                minutes=int(rng.integers(0, 60)),
+                alt_encoding=enc,
+                alt_value=int(rng.integers(lo, hi + 1)),
+            ))
+        msg_ref = None if rng.random() < 0.5 else int(rng.integers(0, 64))
+        ts = None if rng.random() < 0.5 else (
+            int(rng.integers(0, 24)), int(rng.integers(0, 60)),
+            int(rng.integers(0, 60)))
+        data = fans.encode_downlink(int(rng.integers(0, 64)), reports,
+                                    msg_ref=msg_ref, timestamp=ts)
+        msg = fans.decode_downlink(data)
+        got = [el for el in msg.elements
+               if isinstance(el, fans.PositionReport)]
+        assert len(got) == n_rep
+        for rep, el in zip(reports, got):
+            assert el.altitude.encoding == rep["alt_encoding"]
+            assert el.altitude.value == rep["alt_value"]
+            assert el.position.lat_deg == rep["latlon"].lat_deg
+            assert el.position.lon_min10 == rep["latlon"].lon_min10
+            assert (el.hours, el.minutes) == (rep["hours"], rep["minutes"])
+
+
+def test_arinc_never_crashes_on_garbage():
+    """Robustness fuzz: arbitrary bytes/text through every ARINC entry
+    point must never raise (a CRC-failed over-the-air message reaches the
+    walk 'decoded anyway')."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 40))).tolist())
+        arinc.parse_adsc_downlink(blob)          # must not raise
+        try:
+            fans.decode_downlink(blob)
+        except ValueError:
+            pass                                  # the one allowed failure
+        oooi = Oooi()
+        arinc.arinc_decode(wrap("ADS", blob), "B6",
+                           chr(int(rng.integers(0x20, 0x7F))), oooi)
+        arinc.arinc_decode(wrap("AT1", blob), "B6", "2", oooi)
+    # non-envelope garbage text
+    for _ in range(100):
+        txt = "".join(chr(c) for c in rng.integers(0x20, 0x7F, 30))
+        assert arinc.arinc_decode(txt, "H1", "2", Oooi()) is None or True
