@@ -88,15 +88,28 @@ def test_fans_seqof_multiple_dm48():
     assert fans.find_dm48(msg).position.lat == pytest.approx(10.0)
 
 
-def test_fans_unsupported_element():
+def test_fans_null_element_decodes():
     w = fans.BitWriter()
     w.write(0, 3)                      # no seqOf, no ref, no ts
     fans.write_int(w, 11, 0, 63)       # msg id
-    fans.write_int(w, 0, 0, 80)        # dM0 WILCO (unmodelled)
+    fans.write_int(w, 0, 0, 80)        # dM0 WILCO
+    msg = fans.decode_downlink(w.bytes())
+    assert isinstance(msg.elements[0], fans.Element)
+    assert msg.elements[0].index == 0
+    assert msg.elements[0].text == "WILCO"
+    assert fans.find_dm48(msg) is None
+
+
+def test_fans_opaque_element_unsupported():
+    # dM24 carries a FANSRouteClearance, whose layout is not modelled
+    w = fans.BitWriter()
+    w.write(0, 3)
+    fans.write_int(w, 11, 0, 63)
+    fans.write_int(w, 24, 0, 80)
+    w.write(0, 16)                     # arbitrary unread body bits
     msg = fans.decode_downlink(w.bytes())
     assert isinstance(msg.elements[0], fans.UnsupportedElement)
-    assert msg.elements[0].index == 0
-    assert fans.find_dm48(msg) is None
+    assert msg.elements[0].index == 24
 
 
 def test_fans_truncated_raises():
@@ -201,7 +214,7 @@ def test_cpdlc_dm48_fills_oooi():
         "B6", "2", oooi)
     assert node is not None and node.app == "cpdlc"
     txt = arinc.format_tree(node)
-    assert "DM48 position report" in txt
+    assert "DM48 POSITION REPORT" in txt
     assert "altitudeFlightLevel=390 (39000 ft)" in txt
     assert oooi.epu == 1
     assert oooi.lat == pytest.approx(48 + 251 / 10 / 60)
@@ -223,11 +236,22 @@ def test_cpdlc_negative_altitude_not_copied():
 
 def test_cpdlc_uplink_and_other_imis():
     oooi = Oooi()
-    node = arinc.arinc_decode(wrap("AT1", b"\x00\x01"), "B6", "X", oooi)
+    # UM117 CONTACT [unit] [frequency], hand-encoded via the schema
+    payload = fans.encode_message(
+        [(117, {"unitname": {"facility": ("designation", "KZAK"),
+                             "function": "center"},
+                "frequency": ("frequencyvhf", 26360)})],
+        msg_id=9, uplink=True)
+    node = arinc.arinc_decode(wrap("AT1", payload), "B6", "X", oooi)
     assert node is not None and "uplink" in node.lines[0]
+    txt = arinc.format_tree(node)
+    assert "UM117 CONTACT KZAK CENTER 131.800 MHz" in txt
     node = arinc.arinc_decode(wrap("CR1", b"\x01"), "B6", "2", oooi)
     assert node is not None and "CR1" in node.lines[0]
     assert oooi.epu == 0
+    # garbage uplink payload must yield None, not crash
+    assert arinc.arinc_decode(wrap("AT1", b"\xff\xff\xff"), "B6",
+                              "X", Oooi()) is None
 
 
 def test_crc_mismatch_reported_but_decoded():

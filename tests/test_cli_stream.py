@@ -382,3 +382,30 @@ def test_sigterm_drains_and_exits(tmp_path):
     lines = [l for l in log.read_text().splitlines() if l.strip()]
     assert len(lines) == 1
     assert json.loads(lines[0])["text"] == "TERM TEST"
+
+
+def test_cli_sdr_flags(tmp_path, capsys):
+    """-g/-r/-k parse and run the differential-tested selection logic
+    (main.c:142-158); without hardware the effect is validation + the
+    reference's verbose prints."""
+    from vdlm2dec_tpu.cli import build_parser, main
+    from vdlm2dec_tpu.io.sdr import R820T_GAINS, nearest_gain
+
+    # usage text parity: flags exist with the reference's meanings
+    args = build_parser().parse_args(
+        ["136.975", "--iq", "x", "-g", "90", "-r", "00000002",
+         "-k", "0xA74068C82F2E3793", "--devices", "a,b"])
+    assert args.gain == 90 and args.rtldevice == "00000002"
+
+    # gain snap semantics (rtl.c:162-184): 90 tenths -> nearest supported
+    assert nearest_gain(90, list(R820T_GAINS)) == 87
+
+    # -r with no match exits 1 like verbose_device_search (rtl.c:118-120)
+    rc = main(["136.975", "--iq", "/nonexistent", "-r", "zzz",
+               "--devices", "serial1,serial2"])
+    assert rc == 1
+    assert "No matching device" in capsys.readouterr().err
+
+    # invalid -k hex exits 1
+    rc = main(["136.975", "--iq", "/nonexistent", "-k", "notahex"])
+    assert rc == 1

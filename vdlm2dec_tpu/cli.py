@@ -34,7 +34,8 @@ import numpy as np
 from .constants import MAX_BURST_SYMBOLS
 from .host.decoder import FrameDecoder
 from .host.output import OutputConfig
-from .io.sdr import choose_fc, choose_fc_airspy, validate_freqs
+from .io.sdr import (choose_fc, choose_fc_airspy, match_device,
+                     nearest_gain, validate_freqs)
 from .pipeline import Pipeline, PipelineConfig
 
 
@@ -88,7 +89,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("-i", dest="station", default=_socket.gethostname()[:48])
     p.add_argument("-p", dest="ppm", type=float, default=0.0,
-                   help="frequency correction in ppm (rtl.c:211-216)")
+                   help="frequency correction in ppm (rtl.c:211-216); "
+                        "applied as an fc shift here, see PARITY.md")
+    p.add_argument("-g", dest="gain", type=int, default=None,
+                   help="rtl: preamp gain in tenths of dB, snapped to the "
+                        "nearest supported value (rtl.c:162-184); airspy "
+                        "(f32real): linearity gain 0-21 (air.c:159)")
+    p.add_argument("-r", dest="rtldevice", default=None,
+                   help="rtl device number or serial (verbose_device_search"
+                        " semantics, rtl.c:47-121); takes effect with SDR "
+                        "hardware, validated against --devices when given")
+    p.add_argument("-k", dest="airspy_serial", default=None,
+                   help="airspy serial number in hex (main.c:156-158)")
+    p.add_argument("--devices", default=None,
+                   help="comma-separated known device serials for -r "
+                        "matching (stands in for the USB enumeration)")
     p.add_argument("-j", dest="netjson", default=None)
     p.add_argument("-s", dest="netsbs", default=None)
     p.add_argument("-l", dest="logfile", default=None)
@@ -160,6 +175,39 @@ def main(argv=None) -> int:
         # the demod's per-burst CFO estimator absorbs the residual) — apply
         # the dominant effect: shift the effective center frequency
         fc = fc * (1.0 + args.ppm / 1e6)
+
+    # SDR device/gain flags: pure selection logic runs here (differential-
+    # tested in io/sdr.py); the USB register writes need real hardware.
+    if args.gain is not None:
+        from .io.sdr import R820T_GAINS
+
+        if real_input:
+            if not 0 <= args.gain <= 21:
+                print("airspy linearity gain must be 0-21", file=sys.stderr)
+                return 1
+            gain = args.gain                      # air.c:159
+        else:
+            gain = nearest_gain(args.gain, R820T_GAINS)  # rtl.c:162-184
+        if args.verbose:
+            # rtl.c:181-183 prints the snapped gain at verbose
+            print(f"Gain set to {gain / 10:.1f}" if not real_input
+                  else f"Linearity gain {gain}", file=sys.stderr)
+    if args.rtldevice is not None and args.devices is not None:
+        idx = match_device(args.rtldevice, args.devices.split(","))
+        if idx < 0:
+            # verbose_device_search failure exits (rtl.c:118-120)
+            print(f"No matching device found for {args.rtldevice}",
+                  file=sys.stderr)
+            return 1
+        if args.verbose:
+            print(f"Using device {idx}", file=sys.stderr)
+    if args.airspy_serial is not None:
+        try:
+            int(args.airspy_serial, 16)           # strtoull(,,16)
+        except ValueError:
+            print(f"invalid airspy serial {args.airspy_serial}",
+                  file=sys.stderr)
+            return 1
 
     logfd = open(args.logfile, "a") if args.logfile else None
 

@@ -14,10 +14,13 @@ free implementation of the same surface:
     iterates the whole la_list (arincpos.c:153-164) — decoding each known
     group into text lines; the first basic report among tags
     7/9/10/18/19/20 fills oooi (lat/lon/alt/epu, arincpos.c:165-172);
-  * CPDLC (IMI AT1): FANS-1/A unaligned-PER decode via host.fans; a DM48
-    position report (top element or element sequence) fills oooi with
-    lat/lon and, when positive, altitude in any of 8 encodings
-    (arincpos.c:47-118, 176-213).
+  * CPDLC (IMI AT1): FANS-1/A unaligned-PER decode via host.fans — the
+    full DO-258A element set in both directions (81 DMs / 183 UMs); a
+    DM48 position report (top element or element sequence) fills oooi
+    with lat/lon and, when positive, altitude in any of 8 encodings
+    (arincpos.c:47-118, 176-213);
+  * ADS-C uplink contract requests (periodic/event/demand/emergency/
+    cancel) decoded group-by-group like the downlink tag walk.
 
 ADS-C group layout per ARINC 745-2: coordinates 21-bit two's-complement
 with LSB 180/2^20 deg, altitude 16-bit signed in 4 ft units, timestamp
@@ -220,40 +223,203 @@ def parse_adsc_downlink(payload: bytes) -> ArincNode | None:
     return node if recognised else None
 
 
-def parse_cpdlc_downlink(payload: bytes) -> ArincNode | None:
-    """FANS-1/A ATCDownlinkMessage -> node (+ DM48 position when present)."""
-    try:
-        msg = fans.decode_downlink(payload)
-    except ValueError:
-        return None
-    node = ArincNode(app="cpdlc", lines=["CPDLC downlink message:"])
+def _cpdlc_node(msg, prefix: str) -> ArincNode:
+    node = ArincNode(app="cpdlc",
+                     lines=[f"CPDLC {prefix} message:"])
     hdr = f"  msg id {msg.msg_id}"
     if msg.msg_ref is not None:
         hdr += f" ref {msg.msg_ref}"
     if msg.timestamp is not None:
         hdr += " ts {:02d}:{:02d}:{:02d}".format(*msg.timestamp)
     node.lines.append(hdr)
+    tag = "UM" if prefix == "uplink" else "DM"
     for el in msg.elements:
         if isinstance(el, fans.UnsupportedElement):
-            node.lines.append(f"  DM{el.index} (not decoded)")
+            node.lines.append(
+                f"  {tag}{el.index} (not decoded: {el.reason})")
             continue
+        if isinstance(el, fans.Element):
+            line = f"  {tag}{el.index} {el.text}"
+            if not el.complete:
+                line += " (tail not decoded)"
+            node.lines.append(line)
+            continue
+        # DM48 PositionReport
         if el.position is None:
-            node.lines.append("  DM48 position report (position not lat/lon)")
-            continue
+            node.lines.append("  DM48 POSITION REPORT")
+        else:
+            node.lines.append(
+                f"  DM48 POSITION REPORT: lat {el.position.lat:.7f}"
+                f" lon {el.position.lon:.7f}"
+                f" at {el.hours:02d}:{el.minutes:02d}"
+            )
         a = el.altitude
-        node.lines.append(
-            f"  DM48 position report: lat {el.position.lat:.7f}"
-            f" lon {el.position.lon:.7f} at {el.hours:02d}:{el.minutes:02d}"
-        )
         node.lines.append(
             f"    altitude: {a.encoding}={a.value} ({a.feet} ft)"
         )
+        node.lines.extend(f"    {x}" for x in el.extras)
+    return node
+
+
+def parse_cpdlc_downlink(payload: bytes) -> ArincNode | None:
+    """FANS-1/A ATCDownlinkMessage -> node (+ DM48 position when present,
+    arincpos.c:176-213)."""
+    try:
+        msg = fans.decode_downlink(payload)
+    except ValueError:
+        return None
+    node = _cpdlc_node(msg, "downlink")
     rpt = fans.find_dm48(msg)
     if rpt is not None:
         node.lat = rpt.position.lat
         node.lon = rpt.position.lon
         node.alt = rpt.altitude.feet
     return node
+
+
+def parse_cpdlc_uplink(payload: bytes) -> ArincNode | None:
+    """FANS-1/A ATCUplinkMessage -> node.  The reference decodes uplinks
+    through the same libacars call (arincpos.c:130-143 sets direction and
+    decodes either way); no position is extracted from uplinks."""
+    try:
+        msg = fans.decode_uplink(payload)
+    except ValueError:
+        return None
+    return _cpdlc_node(msg, "uplink")
+
+
+# -- ADS-C uplink (contract requests) ---------------------------------------
+# ARINC 745-2 uses the same one-octet tag framing in both directions with
+# direction-dependent meaning; the uplink request tags mirror the downlink
+# report tags they solicit (7 periodic / 9 emergency-periodic / 8 event /
+# 6 demand, with per-group sub-requests reusing the downlink group tags).
+# NOTE: reconstructed layout — neither ARINC 745-2 nor libacars is
+# available in this environment to verify the field encodings; the tag
+# structure is pinned by the repo's own unit vectors (tests/test_arinc.py)
+# and documented in PARITY.md.  The reference prints these via libacars
+# (arincpos.c:130-143, direction-agnostic decode).
+MODULATED_GROUPS = {
+    11: "flight identification",
+    12: "predicted route",
+    13: "earth reference",
+    14: "air reference",
+    15: "meteorological",
+    16: "airframe identification",
+    17: "intermediate projected intent",
+    22: "fixed projected intent",
+}
+
+EVENT_GROUPS = {
+    10: ("lateral deviation change", 1),     # threshold, 1/8 nm units
+    18: ("vertical rate change", 1),         # threshold, 64 ft/min units
+    19: ("altitude range", 4),               # ceiling/floor, 4 ft units
+    20: ("waypoint change", 0),
+}
+
+
+def _interval_seconds(b: int) -> int:
+    """Reporting-interval octet: 2-bit scale + 6-bit rate,
+    seconds = rate << (2*scale)."""
+    return (b & 0x3F) << (2 * (b >> 6))
+
+
+def _parse_contract_groups(name: str, data: bytes, periodic: bool,
+                           lines: list[str]) -> None:
+    """Shared body of periodic/demand contract requests: contract number,
+    then (periodic only) reporting interval, then modulated group
+    requests (group tag + 1-byte modulus)."""
+    if not data:
+        lines.append(f"  truncated {name}")
+        return
+    lines.append(f"  {name}: contract {data[0]}")
+    i = 1
+    if periodic:
+        if len(data) < 2:
+            lines.append("    (no reporting interval)")
+            return
+        lines.append(f"    reporting interval:"
+                     f" {_interval_seconds(data[1])} s")
+        i = 2
+    while i < len(data):
+        tag = data[i]
+        grp = MODULATED_GROUPS.get(tag)
+        if grp is None or i + 1 >= len(data):
+            lines.append(f"    unknown group request"
+                         f" {data[i:].hex()}")
+            break
+        lines.append(f"    {grp} group: every {data[i + 1]} reports")
+        i += 2
+
+
+def _parse_event_contract(data: bytes, lines: list[str]) -> None:
+    if not data:
+        lines.append("  truncated event contract request")
+        return
+    lines.append(f"  event contract request: contract {data[0]}")
+    i = 1
+    while i < len(data):
+        tag = data[i]
+        entry = EVENT_GROUPS.get(tag)
+        if entry is None:
+            lines.append(f"    unknown event {data[i:].hex()}")
+            break
+        name, length = entry
+        body = data[i + 1 : i + 1 + length]
+        if len(body) < length:
+            lines.append(f"    truncated {name} event")
+            break
+        if tag == 10:
+            lines.append(f"    {name} event:"
+                         f" threshold {body[0] * 0.125:.3f} nm")
+        elif tag == 18:
+            lines.append(f"    {name} event:"
+                         f" threshold {body[0] * 64} ft/min")
+        elif tag == 19:
+            ceil = _s(int.from_bytes(body[0:2], "big"), 16) * 4
+            floor = _s(int.from_bytes(body[2:4], "big"), 16) * 4
+            lines.append(f"    {name} event:"
+                         f" ceiling {ceil} ft floor {floor} ft")
+        else:
+            lines.append(f"    {name} event")
+        i += 1 + length
+    return
+
+
+def parse_adsc_uplink(payload: bytes) -> ArincNode | None:
+    """Decode an ADS-C uplink (ground->air contract request) message."""
+    node = ArincNode(app="adsc", lines=["ADS-C uplink:"])
+    i, n = 0, len(payload)
+    recognised = 0
+    while i < n:
+        tag = payload[i]
+        rest = payload[i + 1:]
+        if tag == 1:
+            node.lines.append("  cancel all contracts")
+            i += 1
+        elif tag == 2:
+            if not rest:
+                node.lines.append("  truncated cancel contract")
+                break
+            node.lines.append(f"  cancel contract {rest[0]}")
+            i += 2
+        elif tag == 24:
+            node.lines.append("  cancel emergency mode")
+            i += 1
+        elif tag in (6, 7, 9):
+            name = {6: "demand contract request",
+                    7: "periodic contract request",
+                    9: "emergency periodic contract request"}[tag]
+            _parse_contract_groups(name, rest, tag in (7, 9), node.lines)
+            i = n                           # greedy: consumes the tail
+        elif tag == 8:
+            _parse_event_contract(rest, node.lines)
+            i = n
+        else:
+            node.lines.append(f"  unknown uplink tag {tag}:"
+                              f" {rest.hex()}")
+            break
+        recognised += 1
+    return node if recognised else None
 
 
 def extract_sublabel_mfi(label: str, text: str) -> tuple[str, str, int]:
@@ -297,12 +463,14 @@ def _unwrap_payload(imi: str, reg: str, hextext: str):
         blob = bytes.fromhex(hexs)
     except ValueError:
         return None
-    data, trailer = blob[:-2], blob[-2:]
-    want = crc16_ccitt((imi + reg).encode("latin-1") + data)
-    crc_ok = want in (
-        int.from_bytes(trailer, "big"),
-        int.from_bytes(trailer, "little"),
-    )
+    # The 16-bit BCS trailer is appended MSB-first: CRC-16/CCITT-FALSE is
+    # a non-reflected MSB-first CRC, and appending it big-endian is the
+    # convention that makes crc(message + trailer) == 0 — which is how we
+    # verify it (one order only; a little-endian trailer fails).  Policy
+    # on mismatch: decode anyway and annotate (the reference's libacars
+    # also surfaces the decode with an error flag rather than dropping).
+    data = blob[:-2]
+    crc_ok = crc16_ccitt((imi + reg).encode("latin-1") + blob) == 0
     return data, crc_ok
 
 
@@ -311,8 +479,9 @@ def arinc_decode(text: str, label: str, bid: str, oooi) -> ArincNode | None:
 
     Returns a node for recognised ATS applications and fills oooi with any
     extracted position, else None.  Direction: digit block id = downlink
-    (arincpos.c:130-133); uplink payloads are labelled but not decoded
-    (position extraction only ever reads downlink reports).
+    (arincpos.c:130-133); uplinks decode through the same apps
+    (arincpos.c:143 is direction-agnostic) but position extraction only
+    ever reads downlink reports (arincpos.c:146-213).
     """
     if not text:
         return None
@@ -335,11 +504,10 @@ def arinc_decode(text: str, label: str, bid: str, oooi) -> ArincNode | None:
 
     if imi == "ADS":
         if not downlink:
-            return ArincNode(
-                app="adsc",
-                lines=[f"ADS-C uplink (contract request), "
-                       f"{len(payload)} bytes"],
-            )
+            node = parse_adsc_uplink(payload)
+            if node is not None and not crc_ok:
+                node.lines.append("  crc mismatch (decoded anyway)")
+            return node
         node = parse_adsc_downlink(payload)
         if node is not None and not crc_ok:
             node.lines.append("  crc mismatch (decoded anyway)")
@@ -355,10 +523,10 @@ def arinc_decode(text: str, label: str, bid: str, oooi) -> ArincNode | None:
         if imi != "AT1":
             return ArincNode(app="cpdlc", lines=[f"CPDLC {imi} message"])
         if not downlink:
-            return ArincNode(
-                app="cpdlc",
-                lines=[f"CPDLC uplink message, {len(payload)} bytes"],
-            )
+            node = parse_cpdlc_uplink(payload)
+            if node is not None and not crc_ok:
+                node.lines.append("  crc mismatch (decoded anyway)")
+            return node
         node = parse_cpdlc_downlink(payload)
         if node is not None and not crc_ok:
             node.lines.append("  crc mismatch (decoded anyway)")

@@ -52,6 +52,13 @@ def choose_fc(freqs_hz: list[int], fs: int = 2_000_000) -> int:
     raise ValueError("No usable center frequency")
 
 
+# R820T tuner gain steps in tenths of dB (librtlsdr's
+# rtlsdr_get_tuner_gains for the R820T/R820T2 — what the reference's
+# nearest_gain snap runs against on the usual dongle, rtl.c:162-184)
+R820T_GAINS = (0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197, 207,
+               229, 254, 280, 297, 328, 338, 364, 372, 386, 402, 421,
+               434, 439, 445, 480, 496)
+
 # R820T2 IF-filter corner tables (air.c:44-45): achievable high-pass and
 # low-pass corner frequencies in Hz
 R820T_HF = (1953050, 1980748, 2001344, 2032592, 2060291, 2087988)
