@@ -38,21 +38,28 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     channel (sync/filter cost is per-channel regardless of traffic, so
     sparse activity keeps large-channel-count synthesis affordable).
 
-    Synthesis is pure-host and slow, so the result is cached on disk keyed
-    by parameters (repeated/driver runs skip straight to the decode)."""
+    Returns (wide, freqs, fc, truth) where truth is the per-burst ground
+    truth [(channel_index, frame content bytes), ...] used for recall
+    matching.  Synthesis is pure-host and slow, so the result is cached on
+    disk keyed by parameters."""
     import os
     import tempfile
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench2_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"vdlm2_bench4_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
         f"{active_every}_{base}.npz",
     )
     if os.path.exists(cache):
         try:
             z = np.load(cache)
+            lens = z["truth_lens"]
+            blob = z["truth_blob"].tobytes()
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            truth = [(int(c), blob[offs[i]:offs[i + 1]])
+                     for i, c in enumerate(z["truth_chan"])]
             return (z["wide"], [int(f) for f in z["freqs"]], int(z["fc"]),
-                    int(z["n_bursts"]))
+                    truth)
         except Exception:
             pass
 
@@ -69,10 +76,21 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     fc = round(((min(freqs) + max(freqs)) // 2 - 287_500) / 25_000) * 25_000
     if max(abs(fc - f) for f in freqs) > fs // 2 - 50_000:
         fc = round((min(freqs) + max(freqs)) / 2 / 25_000) * 25_000
+    # every channel must fit inside Nyquist: an offset beyond fs/2 aliases
+    # back by exactly fs, landing ON another channel of the raster and
+    # duplicating its bursts at full strength (the round-2 64ch config's
+    # 3.2 MHz span in a 2 Msps capture did exactly this: 143 frames from
+    # 98 bursts — see PERF.md "64ch anomaly")
+    worst = max(abs(fc - f) for f in freqs)
+    if worst > fs // 2 - 12_500:
+        raise ValueError(
+            f"channel plan spans {worst} Hz from fc but Nyquist is "
+            f"{fs // 2} Hz: channels would alias onto each other"
+        )
     total_wide = int(fs * seconds)
     total_bb = int(DEMOD_RATE * seconds)
     wide = np.zeros(total_wide, dtype=np.complex128)
-    n_bursts = 0
+    truth: list[tuple[int, bytes]] = []
     for ci, f in enumerate(freqs):
         if ci % active_every:
             continue
@@ -82,19 +100,26 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
             content = rng.integers(0, 256, int(rng.integers(20, 120))).astype(np.uint8)
             plan = mod.make_burst([content])
             burst = mod.synthesize_baseband(plan, start=0, total=None)
-            seg = min(len(burst), total_bb - pos)
-            bb[pos : pos + seg] += burst[:seg]
-            n_bursts += 1
+            if pos + len(burst) > total_bb:
+                # a clipped burst is unrecoverable by construction — it
+                # must not enter the capture OR the truth list (one such
+                # edge burst was the 64ch config's lone recall miss)
+                break
+            bb[pos : pos + len(burst)] += burst
+            truth.append((ci, content.tobytes()))
             pos += len(burst) + int(rng.integers(2000, 12000))
         wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total_wide)
     noise = rng.normal(size=total_wide) + 1j * rng.normal(size=total_wide)
     wide = (wide + 0.02 * noise).astype(np.complex64)
     try:
         np.savez(cache, wide=wide, freqs=np.array(freqs), fc=fc,
-                 n_bursts=n_bursts)
+                 truth_chan=np.array([c for c, _ in truth], np.int32),
+                 truth_lens=np.array([len(b) for _, b in truth], np.int64),
+                 truth_blob=np.frombuffer(
+                     b"".join(b for _, b in truth), np.uint8))
     except OSError:
         pass
-    return wide, freqs, fc, n_bursts
+    return wide, freqs, fc, truth
 
 
 def to_u8(wide: np.ndarray) -> np.ndarray:
@@ -112,15 +137,17 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
                profile_dir: str | None = None,
                fetch_workers: int = 1, fs: int = 2_000_000,
                base: int | None = None, chan_impl: str = "matmul",
-               block_seconds: float | None = None) -> dict:
+               block_seconds: float | None = None,
+               compute: str = "f32", sync_impl: str = "xla") -> dict:
     """Time the pipelined u8 fast path on one config; returns stats."""
     import jax
 
     from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig, PipelinedDecoder
 
-    wide, freqs, fc, n_bursts = make_capture(
+    wide, freqs, fc, truth = make_capture(
         fs, channels, seconds, spacing=spacing, active_every=active_every,
         base=base)
+    n_bursts = len(truth)
     max_cand = max_candidates or max(16, int(16 * seconds))
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs],
@@ -131,9 +158,13 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         max_symbols=max_symbols,
         use_pallas=pallas and chan_impl == "matmul",
         chan_impl=chan_impl,
+        compute=compute,
+        sync_impl=sync_impl,
         # decode slots sized for dense traffic (~11 bursts/s/channel at
-        # median burst length) rather than channels x sync slots
-        max_out=max(64, int(11 * seconds * channels // max(active_every, 1))),
+        # median burst length) x2 headroom for re-trigger/garbage
+        # candidates, which occupy slots too (the round-3 recall gate
+        # caught 2/98 bursts dropped at the tighter estimate)
+        max_out=max(64, int(22 * seconds * channels // max(active_every, 1))),
     )
     pipe = Pipeline(cfg)
     align = pipe.channelizer.p_in * (32 if pallas else 1)
@@ -150,11 +181,36 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         bursts = pipe._finish(cands, 0)
         n_cands = len(cands)
     n_frames = sum(len(b.frames) for b in bursts)
+    # per-burst recall: every synthesized burst must come back on its OWN
+    # channel with its exact content; anything else is a duplicate (same
+    # (channel, content) twice — e.g. cross-block re-decode), leakage
+    # (right content, wrong channel — e.g. adjacent-channel or alias
+    # images) or spurious (content matching nothing synthesized)
+    from collections import Counter
+
+    want = Counter(truth)
+    got = Counter()
+    for b in bursts:
+        for f in b.frames:
+            got[(b.channel, bytes(bytearray(f[1:-3])))] += 1
+    matched = sum(min(got[k], n) for k, n in want.items())
+    missed = n_bursts - matched
+    duplicates = sum(max(got[k] - want[k], 0) for k in got if k in want)
+    contents = {c for _ch, c in want}
+    leakage = sum(n for k, n in got.items()
+                  if k not in want and k[1] in contents)
+    spurious = sum(n for k, n in got.items()
+                   if k not in want and k[1] not in contents)
     print(
-        f"# [{channels}ch] sanity: {n_bursts} bursts synthesized, "
-        f"{n_frames} frames decoded ({n_cands} candidates)",
+        f"# [{channels}ch] recall {matched}/{n_bursts} "
+        f"(missed {missed}, duplicates {duplicates}, leakage {leakage}, "
+        f"spurious {spurious}; {n_frames} frames, {n_cands} candidates)",
         file=sys.stderr,
     )
+    if missed:
+        raise RuntimeError(
+            f"{channels}ch recall failure: {missed}/{n_bursts} synthesized "
+            f"bursts not recovered on their own channel")
 
     profile_cm = jax.profiler.trace(profile_dir) if profile_dir else None
     if profile_cm:
@@ -200,7 +256,9 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
     )
     return {"channels": channels, "msps": round(msps, 2),
             "channel_realtime_equivalents": round(chan_rt, 0),
-            "frames": n_frames, "bursts": n_bursts}
+            "frames": n_frames, "bursts": n_bursts,
+            "recall": f"{matched}/{n_bursts}", "duplicates": duplicates,
+            "leakage": leakage, "spurious": spurious}
 
 
 def run_analysis(seconds: float, iters: int, max_symbols: int,
@@ -341,9 +399,16 @@ def main():
                     choices=["matmul", "dft"],
                     help="dft = residue-space channelizer (25/84 the FLOPs,"
                          " no dense mixed intermediate)")
+    ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
+                    help="bf16 mix/filter matmuls (f32 accumulation)")
+    ap.add_argument("--sync-impl", default="xla", choices=["xla", "fused"],
+                    help="fused = Pallas filter+sync kernel + inline demod"
+                         " filtering (no materialized polyphase tensor)")
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
                     help="skip the 64/76-channel configs")
     ap.set_defaults(scale=True)
+    ap.add_argument("--band-core", type=float, default=0.2,
+                    help="whole-band streaming core seconds per dispatch")
     ap.add_argument("--band", action="store_true",
                     help="add the whole-VDL-band config: 760 channels at "
                          "25 kHz across 118.5-137.5 MHz from a 20 Msps "
@@ -358,7 +423,10 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
-        args.seconds, args.iters, args.max_symbols = 0.25, 2, 256
+        # 512 symbols covers the largest synthesized burst (120-byte
+        # content -> ~460 symbols); 256 truncated the long tail and
+        # silently lost ~1/6 of bursts before recall was asserted
+        args.seconds, args.iters, args.max_symbols = 0.25, 2, 512
         args.scale = False
 
     t_start = time.perf_counter()
@@ -366,13 +434,22 @@ def main():
         args.channels, args.seconds, args.iters, args.max_symbols,
         args.max_candidates, args.pallas, profile_dir=args.profile,
         fetch_workers=args.fetch_workers, chan_impl=args.chan_impl,
+        compute=args.compute, sync_impl=args.sync_impl,
     )
     extra: dict = {}
     if args.scale:
         # the residue-space channelizer wins ~2x at high channel counts
-        # (76ch measured 18.1 vs 9.2 Msps, identical recall)
-        for ch, sec, it, sp, act in ((64, 1.0, 4, 50_000, 4),
-                                     (76, 1.0, 4, 25_000, 4)):
+        # (76ch measured 18.1 vs 9.2 Msps, identical recall).  Both scale
+        # configs use 25 kHz spacing: at 50 kHz, 64 channels span 3.2 MHz
+        # > the 2 Msps Nyquist and alias onto each other (the round-2
+        # "143 frames from 98 bursts" anomaly; make_capture now rejects
+        # any aliasing plan outright).  Active channels sit 125 kHz apart:
+        # the 84 kHz decimation folds a neighbour at offset S to |S mod 84|
+        # kHz, and 125 kHz folds to 41 kHz — maximally far from the matched
+        # filter (100 kHz folds to 16 kHz and corrupts marginal bursts
+        # through the reference-parity boxcar)
+        for ch, sec, it, sp, act in ((64, 1.0, 4, 25_000, 5),
+                                     (76, 1.0, 4, 25_000, 5)):
             if time.perf_counter() - t_start > args.budget_s:
                 print(f"# budget exceeded, skipping {ch}ch", file=sys.stderr)
                 continue
@@ -380,9 +457,11 @@ def main():
                 extra[f"scale_{ch}ch"] = run_config(
                     ch, sec, it, args.max_symbols, args.max_candidates,
                     False, spacing=sp, active_every=act, chan_impl="dft",
+                    compute=args.compute, sync_impl=args.sync_impl,
                 )
             except Exception as e:          # never lose the primary metric
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
+                extra[f"scale_{ch}ch"] = {"error": str(e)}
     if args.band and time.perf_counter() - t_start > args.budget_s:
         print("# budget exceeded, skipping whole-band config",
               file=sys.stderr)
@@ -399,10 +478,12 @@ def main():
                 760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
                 fs=20_000_000, base=118_500_000, chan_impl="dft",
-                block_seconds=0.2,
+                block_seconds=args.band_core,
+                compute=args.compute, sync_impl=args.sync_impl,
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)
+            extra["scale_band_760ch"] = {"error": str(e)}
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(

@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="boxcar = reference-parity integrate-and-dump; "
                         "fir = windowed-sinc with >60 dB adjacent-channel "
                         "rejection")
+    p.add_argument("--sync-impl", default="xla", choices=["xla", "fused"],
+                   help="fused: Pallas filter+sync kernel + inline demod "
+                        "filtering (the polyphase tensor never exists in "
+                        "HBM; frame-parity tested)")
+    p.add_argument("--compute", default="f32", choices=["f32", "bf16"],
+                   help="bf16: mix/filter matmuls on bfloat16 operands with "
+                        "f32 accumulation (3x MXU rate; header/RS/CRC stay "
+                        "exact; frame-parity tested)")
     p.add_argument("--chan-impl", default="matmul",
                    choices=["matmul", "dft"],
                    help="dft = residue-space channelizer (25/84 the FLOPs, "
@@ -230,6 +238,8 @@ def main(argv=None) -> int:
         use_pallas=args.pallas,
         filter_mode=args.channel_filter,
         chan_impl=args.chan_impl,
+        compute=args.compute,
+        sync_impl=args.sync_impl,
     )
     pipe = Pipeline(cfg)
 

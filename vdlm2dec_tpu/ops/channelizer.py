@@ -163,8 +163,22 @@ def dft_tables(
     return w, np.maximum(idx, 0), mask, invlen
 
 
-@jax.jit
-def _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen):
+def mm_mode(compute: str):
+    """(cast dtype, matmul precision) for a compute mode.
+
+    "f32": HIGHEST = full-f32 MXU (3 bf16 passes).  "bf16": one MXU pass
+    on bfloat16 operands with f32 accumulation — ~0.5% amplitude error on
+    decimated samples, absorbed by the sync metric / soft slicer
+    (frame-parity tested in test_bf16_mode.py); 3x the matmul rate and
+    half the operand HBM traffic."""
+    if compute == "bf16":
+        return jnp.bfloat16, jax.lax.Precision.DEFAULT
+    return jnp.float32, jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("compute",))
+def _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
+                        compute="f32"):
     """Residue-space channelize: x (B, P_in) f32 pair -> (C, B*84) pair.
 
     Gather into (B, tbl, P_out) residue space, then one matmul over the
@@ -172,21 +186,19 @@ def _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen):
     periodicity this exploits)."""
     b = x_r.shape[0]
     tbl, p_out = idx.shape
+    dt, prec = mm_mode(compute)
     g = mask * invlen[None, :]
-    zr = x_r[:, idx.reshape(-1)].reshape(b, tbl, p_out) * g
-    zi = x_i[:, idx.reshape(-1)].reshape(b, tbl, p_out) * g
+    zr = (x_r[:, idx.reshape(-1)].reshape(b, tbl, p_out) * g).astype(dt)
+    zi = (x_i[:, idx.reshape(-1)].reshape(b, tbl, p_out) * g).astype(dt)
+    w_r, w_i = w_r.astype(dt), w_i.astype(dt)
     yr = (jnp.einsum("cr,brm->cbm", w_r, zr,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
           - jnp.einsum("cr,brm->cbm", w_i, zi,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST))
+                       preferred_element_type=jnp.float32, precision=prec))
     yi = (jnp.einsum("cr,brm->cbm", w_r, zi,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("cr,brm->cbm", w_i, zr,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST))
+                       preferred_element_type=jnp.float32, precision=prec))
     c = yr.shape[0]
     return yr.reshape(c, -1), yi.reshape(c, -1)
 
@@ -210,8 +222,9 @@ def period_phases(
     return np.exp(1j * ang).astype(np.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("pad",))
-def _channelize_fir_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a_ext, pad):
+@functools.partial(jax.jit, static_argnames=("pad", "compute"))
+def _channelize_fir_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a_ext, pad,
+                        compute="f32"):
     """FIR decimation: overlapped (P_in + 2*pad) windows @ a_ext.
 
     x (B, P_in) f32 pair; output (C, B*84) pair.  Taps spill across period
@@ -228,23 +241,24 @@ def _channelize_fir_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a_ext, pad):
     zr = jnp.pad(zr, ((0, 0), (pad, pad)))
     zi = jnp.pad(zi, ((0, 0), (pad, pad)))
     idx = jnp.arange(p_in + 2 * pad)[None, :] + (jnp.arange(b) * p_in)[:, None]
-    wr = zr[:, idx]                            # (C, B, P_in + 2*pad)
-    wi = zi[:, idx]
+    dt, prec = mm_mode(compute)
+    wr = zr[:, idx].astype(dt)                 # (C, B, P_in + 2*pad)
+    wi = zi[:, idx].astype(dt)
+    a_ext = a_ext.astype(dt)
     yr = jnp.einsum("cbn,nm->cbm", wr, a_ext,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    preferred_element_type=jnp.float32, precision=prec)
     yi = jnp.einsum("cbn,nm->cbm", wi, a_ext,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    preferred_element_type=jnp.float32, precision=prec)
     return yr.reshape(c, -1), yi.reshape(c, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interleave",))
-def _channelize_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a, interleave=False):
+@functools.partial(jax.jit, static_argnames=("interleave", "compute"))
+def _channelize_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a, interleave=False,
+                    compute="f32"):
     """Core: x (B, P_in) f32 pair, lo (C, P_in), ph (C, B), a (P_in, P_out).
 
     Returns (C, B*P_out) complex64 as (real, imag) f32 pair.
-    All matmuls run in f32 on the MXU.
+    compute="f32": all matmuls full-f32 on the MXU; "bf16": see mm_mode.
     """
     # mixed[c, b, n] = x[b, n] * lo[c, n]  (complex)
     mr = x_r[None, :, :] * lo_r[:, None, :] - x_i[None, :, :] * lo_i[:, None, :]
@@ -252,13 +266,13 @@ def _channelize_jit(x_r, x_i, lo_r, lo_i, ph_r, ph_i, a, interleave=False):
     # apply period phase
     zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
     zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-    # aggregate: (C, B, P_in) @ (P_in, P_out).  HIGHEST keeps the TPU MXU in
-    # full-f32 (3-pass) mode: the default bf16 pass costs ~0.5% amplitude
-    # error on the decimated samples
+    # aggregate: (C, B, P_in) @ (P_in, P_out)
+    dt, prec = mm_mode(compute)
+    zr, zi, a = zr.astype(dt), zi.astype(dt), a.astype(dt)
     yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
     yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
     c = yr.shape[0]
     return yr.reshape(c, -1), yi.reshape(c, -1)
 
@@ -280,7 +294,10 @@ class Channelizer:
         real_input: bool = False,
         filter_mode: str = "boxcar",
         impl: str = "matmul",
+        compute: str = "f32",
     ):
+        assert compute in ("f32", "bf16")
+        self.compute = compute
         self.fs = fs
         self.sdrclk = sdrclk if sdrclk is not None else fs // 4000
         self.f_offsets = tuple(float(f) for f in f_offsets)
@@ -388,16 +405,18 @@ class Channelizer:
             return _channelize_dft_jit(
                 x_r, x_i, self._w_r, self._w_i,
                 self._dft_idx, self._dft_mask, self._dft_invlen,
+                compute=self.compute,
             )
         ph_r = jnp.asarray(np.ascontiguousarray(ph.real))
         ph_i = jnp.asarray(np.ascontiguousarray(ph.imag))
         if self.filter_mode == "fir":
             return _channelize_fir_jit(
                 x_r, x_i, self._lo_r, self._lo_i, ph_r, ph_i,
-                self._a_fir, self._fir_pad,
+                self._a_fir, self._fir_pad, compute=self.compute,
             )
         return _channelize_jit(
             x_r, x_i, self._lo_r, self._lo_i, ph_r, ph_i, self._a,
+            compute=self.compute,
         )
 
     def reset(self) -> None:

@@ -65,13 +65,19 @@ def pack_complex(x: np.ndarray) -> np.ndarray:
     )
 
 
-def polyphase_filter(y: jnp.ndarray) -> jnp.ndarray:
+def polyphase_filter(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
     """(C, T, 2) re/im -> (C, 4, T, 2) filtered, all 4 polyphases.
 
     Output index t corresponds to the filter applied to y[t-16 .. t]
     (the ring ends at sample t); entries t < 16 use zero history.
     The whole device pipeline is complex-free: filtering acts on the re/im
     planes independently.
+
+    compute="bf16" feeds the MXU bfloat16 operands with f32 accumulation
+    (1 MXU pass instead of HIGHEST's 3): ~0.4% amplitude error on the
+    filtered samples, which the sync metric and the soft-bit slicer absorb
+    (frame-parity tested); the exact stages (header trellis input is the
+    Gray-table output, RS, CRC) are unaffected by design.
     """
     c, t, _ = y.shape
     taps = jnp.asarray(_POLY32)                   # (4, 17)
@@ -80,12 +86,20 @@ def polyphase_filter(y: jnp.ndarray) -> jnp.ndarray:
     # out[t] = sum_j sig[t+j] * taps[j] — the ring y[t-16..t] oldest-first,
     # matching filteredphase.  re/im fold into the batch dim.
     sig = yp.transpose(0, 2, 1).reshape(c * 2, 1, t + 16).astype(jnp.float32)
+    kern = taps[:, None, :].astype(jnp.float32)
+    if compute == "bf16":
+        sig = sig.astype(jnp.bfloat16)
+        kern = kern.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST          # full-f32 on the MXU
     out = jax.lax.conv_general_dilated(
         sig,
-        taps[:, None, :].astype(jnp.float32),
+        kern,
         window_strides=(1,),
         padding="VALID",
-        precision=jax.lax.Precision.HIGHEST,      # full-f32 on the MXU
+        precision=prec,
+        preferred_element_type=jnp.float32,
     )                                             # (C*2, 4, T)
     return out.reshape(c, 2, 4, t).transpose(0, 2, 3, 1)
 
@@ -226,6 +240,66 @@ def demod_candidates_flat(
         s1 = (32 - clk0 + 3) // 4
         pos = t0c + s1 + 8 * jnp.arange(max_symbols)
         f = fpad[ci, phi, pos]
+        p = jnp.arctan2(f[:, 1], f[:, 0])
+        pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
+        d = (p - pprev) - dfc
+        d = jnp.where(d > PI, d - TWO_PI, d)
+        d = jnp.where(d < -PI, d + TWO_PI, d)
+        gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
+        g = jnp.asarray(_GRAY32)
+        soft = g[:, gi].T.reshape(-1)
+        ks = jnp.asarray(_KS[: soft.shape[0]])
+        return jnp.where(ks, 1.0 - soft, soft)
+
+    return jax.vmap(one)(chan, t0, of, df)
+
+
+@functools.partial(jax.jit, static_argnames=("max_symbols",))
+def demod_candidates_inline(
+    y: jnp.ndarray,
+    chan: jnp.ndarray,
+    t0: jnp.ndarray,
+    of: jnp.ndarray,
+    df: jnp.ndarray,
+    max_symbols: int,
+) -> jnp.ndarray:
+    """demod_candidates_flat without the materialized filter tensor.
+
+    The flat path gathers symbol samples from the full (C, 4, T, 2)
+    polyphase output — which forces that ~8x-sized tensor to exist in HBM
+    even though candidates touch under 1% of it.  Here each candidate
+    gathers ONE contiguous y window (8*max_symbols + 25 samples) and
+    applies the 17-tap matched filter at its own polyphase inline: the
+    same products as filteredphase (d8psk.c:219-230) at exactly the
+    symbol positions consumed (d8psk.c:317-328).  Paired with the Pallas
+    sync kernel, the filter output never exists in HBM at all.
+    """
+    c, t, _ = y.shape
+    win_len = 8 * max_symbols + 25
+    # left pad 16 (filter ring), right pad one full candidate window
+    ypad = jnp.pad(y, ((0, 0), (16, win_len), (0, 0)))
+    poly = jnp.asarray(_POLY32)                       # (4, 17)
+
+    def one(ci, t0c, ofc, dfc):
+        clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)
+        win = jax.lax.dynamic_slice(ypad, (ci, t0c, 0), (1, 17, 2))[0]
+        taps1 = jnp.asarray(_EXT_TAPS)[clk0]
+        s1v = jnp.sum(win * taps1[:, None], axis=0)
+        p1 = jnp.arctan2(s1v[1], s1v[0])
+        phi = clk0 % 4
+        s1 = (32 - clk0 + 3) // 4
+        # one contiguous window covering every tap of every symbol:
+        # ypad[ci, t0c + u] = y[ci, t0c + u - 16]; symbol k's filter
+        # window is y[pos_k - 16 .. pos_k] with pos_k = t0c + s1 + 8k,
+        # i.e. ypad[t0c + s1 + 8k .. +17)
+        w = jax.lax.dynamic_slice(
+            ypad, (ci, t0c, 0), (1, win_len, 2))[0]   # (win_len, 2)
+        idx = s1 + 8 * jnp.arange(max_symbols)[:, None] \
+            + jnp.arange(17)[None, :]                 # (ms, 17)
+        sym = w[idx]                                  # (ms, 17, 2)
+        taps = poly[phi]                              # (17,)
+        f = jnp.einsum("skp,k->sp", sym, taps,
+                       preferred_element_type=jnp.float32)
         p = jnp.arctan2(f[:, 1], f[:, 0])
         pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
         d = (p - pprev) - dfc

@@ -129,6 +129,10 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--block-seconds", type=float, default=0.0,
                     help="stream the capture in windows of this length "
                          "(constant memory per host; 0 = one-shot)")
+    ap.add_argument("--timing", action="store_true",
+                    help="windowed mode: print a STATS json line with the "
+                         "post-warmup wall time and global samples covered "
+                         "(window 0 = compile+warmup, excluded)")
     args = ap.parse_args(argv)
 
     import jax
@@ -223,12 +227,30 @@ def _worker_main(argv=None) -> int:
             lmarg_dec = lmarg_p * p_out
             core_dec = core_p * p_out
             n_win = -(-periods // core_p)
+            t_warm = None
             for wi in range(n_win):
                 cands = decode_span(wi * core_p - lmarg_p, total_p)
                 cands = [cd for cd in cands
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
                 n_cands += len(cands)
+                if wi == 0:
+                    # window 0 carries the compile; the decode_span above
+                    # is a real collective, so all processes align here
+                    import time as _time
+
+                    t_warm = _time.monotonic()
+            if args.timing and t_warm is not None and n_win > 1:
+                import json as _json
+                import time as _time
+
+                print("STATS " + _json.dumps({
+                    "pid": args.process_id,
+                    "timed_s": _time.monotonic() - t_warm,
+                    "timed_windows": n_win - 1,
+                    "global_samples_per_window": core_p * p_in,
+                    "frames_emitted_after_warmup": None,
+                }), flush=True)
         print(f"DONE {args.process_id} {n_cands}", flush=True)
         return 0
 
@@ -245,10 +267,13 @@ def _worker_main(argv=None) -> int:
 
 # -- local test launcher ---------------------------------------------------------
 def launch_local(num_processes: int, worker_args: list[str],
-                 local_devices: int = 4, timeout: float = 600.0):
+                 local_devices: int = 4, timeout: float = 600.0,
+                 cpu_sets: list[str] | None = None):
     """Spawn num_processes workers on this machine (virtual CPU devices),
     returning each process's stdout.  The DCN path is real: processes talk
-    through the jax.distributed service + Gloo collectives."""
+    through the jax.distributed service + Gloo collectives.  cpu_sets pins
+    worker i to taskset set cpu_sets[i] (disjoint sets emulate N
+    single-host machines honestly for scaling measurements)."""
     import socket
     import subprocess
 
@@ -263,11 +288,12 @@ def launch_local(num_processes: int, worker_args: list[str],
             + f" --xla_force_host_platform_device_count={local_devices}"
         ).strip()
         env["JAX_PLATFORMS"] = "cpu"
+        pin = (["taskset", "-c", cpu_sets[pid]] if cpu_sets else [])
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "vdlm2dec_tpu.parallel.multihost",
-             "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", str(num_processes),
-             "--process-id", str(pid)] + worker_args,
+            pin + [sys.executable, "-m", "vdlm2dec_tpu.parallel.multihost",
+                   "--coordinator", f"127.0.0.1:{port}",
+                   "--num-processes", str(num_processes),
+                   "--process-id", str(pid)] + worker_args,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
         ))
     outs = []

@@ -76,6 +76,16 @@ class PipelineConfig:
                                            # intermediate — scales to the
                                            # whole VDL band; needs lo_wrap
                                            # boxcar)
+    compute: str = "f32"                   # "bf16": mix/filter matmuls on
+                                           # bfloat16 operands w/ f32 accum
+                                           # (1 MXU pass vs HIGHEST's 3);
+                                           # header/RS/CRC stay exact —
+                                           # frame-parity tested
+    sync_impl: str = "xla"                 # "fused": Pallas filter+sync
+                                           # kernel + inline per-candidate
+                                           # filtering — the (C,4,T,2)
+                                           # polyphase tensor never exists
+                                           # in HBM (ops/pallas_sync.py)
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -100,7 +110,8 @@ DEMOD_CHUNK_GATE = 8_000_000
 
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
                           max_out: int, chan_base=0,
-                          core_start: int = 0, core_len: int = 0):
+                          core_start: int = 0, core_len: int = 0,
+                          compute: str = "f32", sync_impl: str = "xla"):
     """Packed decode with EARLY candidate compaction.
 
     Sync scan produces (C, K) trigger slots; real traffic is far sparser,
@@ -112,11 +123,21 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     the core region are owned by this block/shard; packed t0 is shifted to
     be core-relative.
     """
-    from .ops.demod import demod_candidates_flat
+    from .ops.demod import demod_candidates_flat, demod_candidates_inline
 
-    f = polyphase_filter(y)
-    p0 = phase_of(f[:, 0])
-    err, fr = sync_scan(p0)
+    if sync_impl == "fused":
+        # Pallas fused filter+sync: err/fr straight from y; the filter
+        # tensor never exists in HBM (demod filters its own windows
+        # inline below).  Saves the (C, 4, T, 2) write+read AND the
+        # (C, 17, T) sync-window traffic.
+        from .ops.pallas_sync import sync_scan_pallas
+
+        f = None
+        err, fr = sync_scan_pallas(y)
+    else:
+        f = polyphase_filter(y, compute=compute)
+        p0 = phase_of(f[:, 0])
+        err, fr = sync_scan(p0)
     t0, of, df, valid = find_triggers(err, fr, max_candidates)
     if core_len:
         valid = valid & (t0 >= core_start) & (t0 < core_start + core_len)
@@ -136,21 +157,27 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     # fusion fence: without it XLA tries to rematerialize the channelizer/
     # filter producers inside the per-candidate gather loops, which blows
     # the compiler at whole-band shapes (hundreds of channels)
-    y, f = jax.lax.optimization_barrier((y, f))
+    if f is None:
+        y = jax.lax.optimization_barrier(y)
+        demod = lambda ch_, t_, o_, d_: demod_candidates_inline(
+            y, ch_, t_, o_, d_, max_symbols)
+    else:
+        y, f = jax.lax.optimization_barrier((y, f))
+        demod = lambda ch_, t_, o_, d_: demod_candidates_flat(
+            y, ch_, t_, o_, d_, max_symbols, f)
     big = y.shape[0] * y.shape[1] > DEMOD_CHUNK_GATE
     if big and m > 32 and m % 32 == 0:
         # chunk the candidate vmap through lax.map: the all-at-once gather
         # over a near-GB filter tensor is the op that kills the remote
         # compiler past (760, ~21000)-sample blocks
         def _chunk(a):
-            return demod_candidates_flat(y, a[0], a[1], a[2], a[3],
-                                         max_symbols, f)
+            return demod(a[0], a[1], a[2], a[3])
         soft = jax.lax.map(
             _chunk, (chan.reshape(-1, 32), t0s.reshape(-1, 32),
                      ofs.reshape(-1, 32), dfs.reshape(-1, 32))
         ).reshape(m, -1)
     else:
-        soft = demod_candidates_flat(y, chan, t0s, ofs, dfs, max_symbols, f)
+        soft = demod(chan, t0s, ofs, dfs)
     length, nbrow, nlbyte, ok = header_decode(soft[:, :25])
     need = 8 * MAX_TX_BYTES
     data_soft = soft[:, 25 : 25 + need]
@@ -198,14 +225,15 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
 _device_decode_packed_jit = jax.jit(
     _device_decode_packed,
     static_argnames=("max_candidates", "max_symbols", "max_out",
-                     "core_start", "core_len"),
+                     "core_start", "core_len", "compute", "sync_impl"),
 )
 
 
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
                         use_pallas: bool = False, fmt: str = "cu8",
-                        core_start: int = 0, core_len: int = 0):
+                        core_start: int = 0, core_len: int = 0,
+                        compute: str = "f32", sync_impl: str = "xla"):
     """Fused device program: raw wideband IQ -> packed candidates.
 
     Ships the capture's NATIVE sample format over the host link and
@@ -239,23 +267,29 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                 x = x - dc_offset
             x_r = x[0::2].reshape(b, p_in)
             x_i = x[1::2].reshape(b, p_in)
+        from .ops.channelizer import mm_mode
+
         mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
         mi = x_r[None] * lo_i[:, None, :] + x_i[None] * lo_r[:, None, :]
         zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
         zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-        yr = jnp.einsum("cbn,nm->cbm", zr, a, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        yi = jnp.einsum("cbn,nm->cbm", zi, a, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        dt, prec = mm_mode(compute)
+        zr, zi, am = zr.astype(dt), zi.astype(dt), a.astype(dt)
+        yr = jnp.einsum("cbn,nm->cbm", zr, am,
+                        preferred_element_type=jnp.float32, precision=prec)
+        yi = jnp.einsum("cbn,nm->cbm", zi, am,
+                        preferred_element_type=jnp.float32, precision=prec)
         y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
-                                 core_start=core_start, core_len=core_len)
+                                 core_start=core_start, core_len=core_len,
+                                 compute=compute, sync_impl=sync_impl)
 
 
 _wideband_u8_decode_jit = jax.jit(
     _wideband_u8_decode,
     static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas",
-                     "fmt", "core_start", "core_len"),
+                     "fmt", "core_start", "core_len", "compute",
+                     "sync_impl"),
 )
 
 
@@ -263,7 +297,8 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
                              p_in: int, max_candidates: int,
                              max_symbols: int, max_out: int,
                              fmt: str = "cu8",
-                             core_start: int = 0, core_len: int = 0):
+                             core_start: int = 0, core_len: int = 0,
+                             compute: str = "f32", sync_impl: str = "xla"):
     """Fused device program with the residue-space channelizer: native raw
     IQ -> gather into (B, tbl, 84) residue space -> one (C, tbl) matmul ->
     decode.  Same products as the wrapped-LO mix+dump (see
@@ -282,16 +317,19 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
         b = x.shape[0] // 2 // p_in
         x_r = x[0::2].reshape(b, p_in)
         x_i = x[1::2].reshape(b, p_in)
-    yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen)
+    yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
+                                 compute=compute)
     y = jnp.stack([yr, yi], axis=-1)
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
-                                 core_start=core_start, core_len=core_len)
+                                 core_start=core_start, core_len=core_len,
+                                 compute=compute, sync_impl=sync_impl)
 
 
 _wideband_raw_decode_dft_jit = jax.jit(
     _wideband_raw_decode_dft,
     static_argnames=("p_in", "max_candidates", "max_symbols", "max_out",
-                     "fmt", "core_start", "core_len"),
+                     "fmt", "core_start", "core_len", "compute",
+                     "sync_impl"),
 )
 
 # samples per LO period -> raw array items per period, and the neutral pad
@@ -354,6 +392,8 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
             fmt,
             core_start,
             core_len,
+            compute=pipe.cfg.compute,
+            sync_impl=pipe.cfg.sync_impl,
         )
     return _wideband_u8_decode_jit(
         jnp.asarray(raw[: per * t]),
@@ -369,6 +409,8 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
         fmt,
         core_start,
         core_len,
+        compute=pipe.cfg.compute,
+        sync_impl=pipe.cfg.sync_impl,
     )
 
 
@@ -444,6 +486,7 @@ class Pipeline:
             real_input=cfg.real_input,
             filter_mode=cfg.filter_mode,
             impl=cfg.chan_impl,
+            compute=cfg.compute,
         )
         self._sharded = None
         if cfg.mesh is not None:
@@ -496,6 +539,8 @@ class Pipeline:
             self._max_out(),
             core_start=core_start,
             core_len=core_len,
+            compute=self.cfg.compute,
+            sync_impl=self.cfg.sync_impl,
         ))
         self._observe_packed(buf, _time.perf_counter() - t_start)
         return unpack_results(buf)
@@ -872,9 +917,19 @@ class Pipeline:
                 rs_counts=[int(v) for v in cd["rs_counts"][:nbrow]],
             )
             burst.frames = deframe_corrected(block, nbrow, nlbyte)
-            # occupy the span either way: the serial decoder was busy
-            # decoding this burst whether or not its CRCs passed
-            prev_end[ci] = t0 + span
+            # Span occupancy: a burst that yielded at least one CRC-valid
+            # frame occupies its span (first-trigger-wins, replicating the
+            # serial decoder's suspended sync search).  A 0-frame decode is
+            # overwhelmingly a junk trigger whose chaotic header length
+            # (d8psk.c:90-107 accepts any <=8-row value) would otherwise
+            # block the channel for thousands of samples and swallow REAL
+            # bursts behind it — the reference does exactly that (it stays
+            # in GETDATA for the garbage length), which is its known recall
+            # weakness (PARITY.md divergence 1); we resume immediately.
+            # CRC-failed junk produces no output either way, so the only
+            # observable difference is strictly more decoded frames.
+            if burst.frames:
+                prev_end[ci] = t0 + span
             bursts.append(burst)
         return bursts
 
