@@ -153,7 +153,7 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         freqs_hz=[float(f) for f in freqs],
         fs=fs,
         fc_hz=float(fc),
-        lo_wrap=(chan_impl == "dft"),     # dft exploits the wrapped LO
+        lo_wrap=(chan_impl in ("dft", "pfb")),  # residue impls need the wrapped LO
         max_candidates=max_cand,
         max_symbols=max_symbols,
         use_pallas=pallas and chan_impl == "matmul",
@@ -262,7 +262,8 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
 
 
 def run_analysis(seconds: float, iters: int, max_symbols: int,
-                 pallas: bool) -> dict:
+                 pallas: bool, compute: str = "f32",
+                 sync_impl: str = "xla") -> dict:
     """Per-stage device timing + roofline proxies.  Each stage is jitted
     separately (own compile); timings are fetch-to-fetch on the real link,
     so they include the transfer of each stage's (small) probe output."""
@@ -282,7 +283,8 @@ def run_analysis(seconds: float, iters: int, max_symbols: int,
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
         lo_wrap=False, max_candidates=16, max_symbols=max_symbols,
-        use_pallas=pallas, max_out=128,
+        use_pallas=pallas, max_out=128, compute=compute,
+        sync_impl=sync_impl,
     )
     pipe = Pipeline(cfg)
     t = len(wide) - len(wide) % pipe.channelizer.p_in
@@ -307,21 +309,32 @@ def run_analysis(seconds: float, iters: int, max_symbols: int,
     stages["channelize"] = timed("channelize", chan_fn,
                                  jnp.asarray(np.stack([wide[:t].real,
                                                        wide[:t].imag], -1)))
-    filt_fn = jax.jit(lambda v: polyphase_filter(v)[:, 0, ::997].sum())
+    filt_fn = jax.jit(
+        lambda v: polyphase_filter(v, compute=compute)[:, 0, ::997].sum())
     stages["polyphase_filter"] = timed("polyphase_filter", filt_fn, yj)
 
-    def sync_fn(v):
-        f = polyphase_filter(v)
-        err, fr = sync_scan(phase_of(f[:, 0]))
-        t0_, of, df, valid = find_triggers(err, fr, 16)
-        return t0_.sum() + valid.sum()
+    if sync_impl == "fused":
+        from vdlm2dec_tpu.ops.pallas_sync import sync_scan_pallas
+
+        def sync_fn(v):
+            err, fr = sync_scan_pallas(v)
+            t0_, of, df, valid = find_triggers(err, fr, 16)
+            return t0_.sum() + valid.sum()
+    else:
+        def sync_fn(v):
+            f = polyphase_filter(v, compute=compute)
+            err, fr = sync_scan(phase_of(f[:, 0]))
+            t0_, of, df, valid = find_triggers(err, fr, 16)
+            return t0_.sum() + valid.sum()
 
     stages["filter+sync_scan"] = timed("filter+sync_scan", jax.jit(sync_fn), yj)
 
     from vdlm2dec_tpu.pipeline import _device_decode_packed_jit
 
     def full_fn(v):
-        return _device_decode_packed_jit(v, 16, max_symbols, 128)
+        return _device_decode_packed_jit(v, 16, max_symbols, 128,
+                                         compute=compute,
+                                         sync_impl=sync_impl)
 
     stages["full_decode_packed"] = timed("full_decode_packed", full_fn, yj)
     u8_fn = lambda r: pipe.decode_wideband_u8(r)     # noqa: E731
@@ -396,7 +409,7 @@ def main():
                     help="concurrent result-fetch threads (hide per-fetch "
                          "link latency)")
     ap.add_argument("--chan-impl", default="matmul",
-                    choices=["matmul", "dft"],
+                    choices=["matmul", "dft", "pfb"],
                     help="dft = residue-space channelizer (25/84 the FLOPs,"
                          " no dense mixed intermediate)")
     ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
@@ -487,7 +500,8 @@ def main():
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(
-                args.seconds, args.iters, args.max_symbols, args.pallas)
+                args.seconds, args.iters, args.max_symbols, args.pallas,
+                compute=args.compute, sync_impl=args.sync_impl)
         except Exception as e:
             print(f"# analysis failed: {e}", file=sys.stderr)
 

@@ -78,10 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "f32 accumulation (3x MXU rate; header/RS/CRC stay "
                         "exact; frame-parity tested)")
     p.add_argument("--chan-impl", default="matmul",
-                   choices=["matmul", "dft"],
+                   choices=["matmul", "dft", "pfb"],
                    help="dft = residue-space channelizer (25/84 the FLOPs, "
-                        "scales to whole-band channel counts; needs "
-                        "raster-aligned offsets, boxcar mode)")
+                        "scales to whole-band channel counts); pfb = "
+                        "factorized-DFT filterbank (O(sqrt(tbl)) per "
+                        "output, wins past ~tens of channels); both need "
+                        "raster-aligned offsets, boxcar mode")
 
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-q", dest="quiet", action="store_true")
@@ -157,12 +159,12 @@ def main(argv=None) -> int:
     if not freqs:
         print("Need at least one valid frequency (118-138 MHz)", file=sys.stderr)
         return 1
-    if args.chan_impl == "dft" and args.pallas:
-        print("--chan-impl dft replaces the Pallas ingest kernel; "
+    if args.chan_impl in ("dft", "pfb") and args.pallas:
+        print(f"--chan-impl {args.chan_impl} replaces the Pallas ingest kernel; "
               "drop --pallas", file=sys.stderr)
         return 1
-    if args.chan_impl == "dft" and args.channel_filter != "boxcar":
-        print("--chan-impl dft requires the boxcar channel filter",
+    if args.chan_impl in ("dft", "pfb") and args.channel_filter != "boxcar":
+        print(f"--chan-impl {args.chan_impl} requires the boxcar channel filter",
               file=sys.stderr)
         return 1
 

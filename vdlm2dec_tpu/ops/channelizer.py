@@ -203,6 +203,106 @@ def _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
     return yr.reshape(c, -1), yi.reshape(c, -1)
 
 
+def _near_sqrt_factors(n: int) -> tuple[int, int]:
+    """n = a*b with a <= b and b-a minimal (FFT radix split)."""
+    a = int(math.isqrt(n))
+    while n % a:
+        a -= 1
+    return a, n // a
+
+
+@functools.lru_cache(maxsize=32)
+def pfb_tables(f_offsets: tuple[float, ...], fs: int, sdrclk: int):
+    """Oversampled-filterbank channelizer tables (PERF.md lever 3).
+
+    The residue-space channelizer's per-channel matmul y[c] = w[c] @ z is,
+    for channels on the 25 kHz raster, a DFT over the tbl residues
+    evaluated at bins k_c = fo_c / 25 kHz: w[c, r] = e^{-2pi i k_c r/tbl}.
+    Computing ALL tbl bins by FFT costs O(tbl log tbl) instead of
+    O(C*tbl) — the classic oversampled polyphase filterbank (boxcar
+    prototype = the reference's integrate-and-dump, output on the 84 kHz
+    grid like every other impl).  This backend has no complex dtype and
+    loves small dense matmuls, so the DFT is factorized Cooley-Tukey with
+    tbl = a*b (near-sqrt): DFT_a matmul -> twiddle -> DFT_b matmul, all
+    on re/im f32 planes via the MXU — O(a+b) per output element vs the
+    dft impl's O(C); crossover at roughly C > a+b (57 at 20 Msps,
+    18 at 2 Msps).
+
+    Returns (a, b, dft_a (a,a,2), twiddle (a,b,2), dft_b (b,b,2),
+    bins (C, 2) int32 [k1, k2]) with k = k1 + a*k2 = fo/STEP mod tbl.
+    """
+    tbl = fs // STEPRATE
+    a, b = _near_sqrt_factors(tbl)
+    for fo in f_offsets:
+        k = fo / STEPRATE
+        assert abs(k - round(k)) < 1e-9, (
+            f"pfb channelizer needs raster-aligned offsets, got {fo}"
+        )
+    bins = np.array([int(round(fo / STEPRATE)) % tbl for fo in f_offsets],
+                    dtype=np.int64)
+    k1, k2 = bins % a, bins // a
+    r1 = np.arange(a)
+    r2 = np.arange(b)
+    # Y[k1 + a*k2] = sum_{r2} W_tbl^{r2 k1} W_b^{r2 k2}
+    #                 * sum_{r1} W_a^{r1 k1} z[r1*b + r2]
+    dft_a = np.exp(-2j * np.pi * np.outer(r1, r1) / a)        # [k1, r1]
+    tw = np.exp(-2j * np.pi * np.outer(r1, r2) / tbl)         # [k1, r2]
+    dft_b = np.exp(-2j * np.pi * np.outer(r2, r2) / b)        # [k2, r2]
+
+    def planes(m):
+        return np.stack([m.real, m.imag], axis=-1).astype(np.float32)
+
+    return (a, b, planes(dft_a), planes(tw), planes(dft_b),
+            np.stack([k1, k2], axis=1).astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("a", "b", "compute"))
+def _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw, dfb, bins,
+                        a: int, b: int, compute="f32"):
+    """Residue gather + factorized-DFT filterbank: x (B, P_in) f32 pair ->
+    (C, B*84) pair.  Same residue gather as the dft impl; the (C, tbl)
+    matmul is replaced by DFT_a -> twiddle -> DFT_b over all tbl bins,
+    then a bin gather for the requested channels."""
+    bsz = x_r.shape[0]
+    tbl, p_out = idx.shape
+    dt, prec = mm_mode(compute)
+    g = mask * invlen[None, :]
+    zr = (x_r[:, idx.reshape(-1)].reshape(bsz, tbl, p_out) * g)
+    zi = (x_i[:, idx.reshape(-1)].reshape(bsz, tbl, p_out) * g)
+    # residue r = r1*b + r2 -> (B, a, b, 84)
+    zr = zr.reshape(bsz, a, b, p_out).astype(dt)
+    zi = zi.reshape(bsz, a, b, p_out).astype(dt)
+
+    def cmatmul(spec, mr, mi, vr, vi):
+        rr = jnp.einsum(spec, mr, vr, preferred_element_type=jnp.float32,
+                        precision=prec)
+        ri = jnp.einsum(spec, mr, vi, preferred_element_type=jnp.float32,
+                        precision=prec)
+        ir = jnp.einsum(spec, mi, vr, preferred_element_type=jnp.float32,
+                        precision=prec)
+        ii = jnp.einsum(spec, mi, vi, preferred_element_type=jnp.float32,
+                        precision=prec)
+        return rr - ii, ri + ir
+
+    dfa_r, dfa_i = dfa[..., 0].astype(dt), dfa[..., 1].astype(dt)
+    dfb_r, dfb_i = dfb[..., 0].astype(dt), dfb[..., 1].astype(dt)
+    # stage 1: DFT over r1 -> (B, k1, r2, 84)
+    ar, ai = cmatmul("kr,brcm->bkcm", dfa_r, dfa_i, zr, zi)
+    # twiddle W_tbl^{k1 r2}
+    twr, twi = tw[..., 0], tw[..., 1]
+    br = ar * twr[None, :, :, None] - ai * twi[None, :, :, None]
+    bi = ar * twi[None, :, :, None] + ai * twr[None, :, :, None]
+    # stage 2: DFT over r2 -> (B, k1, k2, 84)
+    yr, yi = cmatmul("kc,bqcm->bqkm", dfb_r, dfb_i,
+                     br.astype(dt), bi.astype(dt))
+    # bin gather for the channel set, -> (C, B*84)
+    k1, k2 = bins[:, 0], bins[:, 1]
+    yr = yr[:, k1, k2, :].transpose(1, 0, 2)
+    yi = yi[:, k1, k2, :].transpose(1, 0, 2)
+    c = k1.shape[0]
+    return yr.reshape(c, -1), yi.reshape(c, -1)
+
+
 def period_phases(
     f_offsets: tuple[float, ...], fs: int, sdrclk: int, wrap: bool, n_periods: int,
     start_period: int = 0,
@@ -304,9 +404,9 @@ class Channelizer:
         self.lo_wrap = lo_wrap
         self.real_input = real_input
         assert filter_mode in ("boxcar", "fir")
-        assert impl in ("matmul", "dft")
+        assert impl in ("matmul", "dft", "pfb")
         assert impl == "matmul" or (lo_wrap and filter_mode == "boxcar"), (
-            "the residue-space (dft) channelizer requires lo_wrap=True "
+            "the residue-space (dft/pfb) channelizers require lo_wrap=True "
             "boxcar mode"
         )
         self.filter_mode = filter_mode
@@ -323,13 +423,21 @@ class Channelizer:
             a_fir, pad = fir_aggregation_matrix(self.sdrclk, fs)
             self._a_fir = jnp.asarray(a_fir)
             self._fir_pad = pad
-        if impl == "dft":
+        if impl in ("dft", "pfb"):
             w, idx, mask, invlen = dft_tables(self.f_offsets, fs, self.sdrclk)
             self._w_r = jnp.asarray(np.ascontiguousarray(w.real))
             self._w_i = jnp.asarray(np.ascontiguousarray(w.imag))
             self._dft_idx = jnp.asarray(idx)
             self._dft_mask = jnp.asarray(mask)
             self._dft_invlen = jnp.asarray(invlen)
+        if impl == "pfb":
+            a, b, dfa, tw, dfb, bins = pfb_tables(
+                self.f_offsets, fs, self.sdrclk)
+            self._pfb_a, self._pfb_b = a, b
+            self._pfb_dfa = jnp.asarray(dfa)
+            self._pfb_tw = jnp.asarray(tw)
+            self._pfb_dfb = jnp.asarray(dfb)
+            self._pfb_bins = jnp.asarray(bins)
         self._period_cursor = 0
 
     @property
@@ -400,6 +508,12 @@ class Channelizer:
         return jnp.stack([yr, yi], axis=-1)
 
     def _run(self, x_r, x_i, ph):
+        if self.impl == "pfb":
+            return _channelize_pfb_jit(
+                x_r, x_i, self._dft_idx, self._dft_mask, self._dft_invlen,
+                self._pfb_dfa, self._pfb_tw, self._pfb_dfb, self._pfb_bins,
+                self._pfb_a, self._pfb_b, compute=self.compute,
+            )
         if self.impl == "dft":
             # lo_wrap=True: the per-period phase is exactly 1, so ph drops
             return _channelize_dft_jit(

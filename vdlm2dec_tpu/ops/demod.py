@@ -282,21 +282,21 @@ def demod_candidates_inline(
 
     def one(ci, t0c, ofc, dfc):
         clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)
-        win = jax.lax.dynamic_slice(ypad, (ci, t0c, 0), (1, 17, 2))[0]
+        # indexed gathers, NOT dynamic_slice: a vmapped dynamic_slice can
+        # lower to a per-lane broadcast of the whole ypad (32 copies of a
+        # 300 MB tensor OOMed the whole-band config); explicit gather
+        # keeps it a gather
+        win = ypad[ci, t0c + jnp.arange(17)]          # (17, 2)
         taps1 = jnp.asarray(_EXT_TAPS)[clk0]
         s1v = jnp.sum(win * taps1[:, None], axis=0)
         p1 = jnp.arctan2(s1v[1], s1v[0])
         phi = clk0 % 4
         s1 = (32 - clk0 + 3) // 4
-        # one contiguous window covering every tap of every symbol:
-        # ypad[ci, t0c + u] = y[ci, t0c + u - 16]; symbol k's filter
-        # window is y[pos_k - 16 .. pos_k] with pos_k = t0c + s1 + 8k,
-        # i.e. ypad[t0c + s1 + 8k .. +17)
-        w = jax.lax.dynamic_slice(
-            ypad, (ci, t0c, 0), (1, win_len, 2))[0]   # (win_len, 2)
-        idx = s1 + 8 * jnp.arange(max_symbols)[:, None] \
+        # symbol k's filter window is y[pos_k - 16 .. pos_k] with
+        # pos_k = t0c + s1 + 8k, i.e. ypad[t0c + s1 + 8k ..  +17)
+        idx = t0c + s1 + 8 * jnp.arange(max_symbols)[:, None] \
             + jnp.arange(17)[None, :]                 # (ms, 17)
-        sym = w[idx]                                  # (ms, 17, 2)
+        sym = ypad[ci, idx]                           # (ms, 17, 2)
         taps = poly[phi]                              # (17,)
         f = jnp.einsum("skp,k->sp", sym, taps,
                        preferred_element_type=jnp.float32)

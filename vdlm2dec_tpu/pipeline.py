@@ -332,6 +332,44 @@ _wideband_raw_decode_dft_jit = jax.jit(
                      "sync_impl"),
 )
 
+
+def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
+                             dc_offset, a: int, b: int, p_in: int,
+                             max_candidates: int, max_symbols: int,
+                             max_out: int, fmt: str = "cu8",
+                             core_start: int = 0, core_len: int = 0,
+                             compute: str = "f32", sync_impl: str = "xla"):
+    """Fused device program with the factorized-DFT filterbank channelizer
+    (ops.channelizer.pfb_tables): all tbl raster bins via two small
+    matmuls + twiddle, O(a+b) per output vs the dft impl's O(C)."""
+    from .ops.channelizer import _channelize_pfb_jit
+
+    if fmt == "f32real":
+        nb = raw.shape[0] // p_in
+        x_r = raw.astype(jnp.float32).reshape(nb, p_in)
+        x_i = jnp.zeros_like(x_r)
+    else:
+        x = raw.astype(jnp.float32)
+        if fmt == "cu8":
+            x = x - dc_offset
+        nb = x.shape[0] // 2 // p_in
+        x_r = x[0::2].reshape(nb, p_in)
+        x_i = x[1::2].reshape(nb, p_in)
+    yr, yi = _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw,
+                                 dfb, bins, a, b, compute=compute)
+    y = jnp.stack([yr, yi], axis=-1)
+    return _device_decode_packed(y, max_candidates, max_symbols, max_out,
+                                 core_start=core_start, core_len=core_len,
+                                 compute=compute, sync_impl=sync_impl)
+
+
+_wideband_raw_decode_pfb_jit = jax.jit(
+    _wideband_raw_decode_pfb,
+    static_argnames=("a", "b", "p_in", "max_candidates", "max_symbols",
+                     "max_out", "fmt", "core_start", "core_len", "compute",
+                     "sync_impl"),
+)
+
 # samples per LO period -> raw array items per period, and the neutral pad
 # value for margins beyond the capture
 RAW_FMT = {
@@ -380,6 +418,22 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
         ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
     )
     ch._period_cursor += b
+    if ch.impl == "pfb":
+        return _wideband_raw_decode_pfb_jit(
+            jnp.asarray(raw[: per * t]),
+            ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+            ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
+            jnp.float32(RTL_DC_OFFSET),
+            ch._pfb_a, ch._pfb_b, ch.p_in,
+            pipe.cfg.max_candidates,
+            pipe.cfg.max_symbols,
+            pipe._max_out(),
+            fmt,
+            core_start,
+            core_len,
+            compute=pipe.cfg.compute,
+            sync_impl=pipe.cfg.sync_impl,
+        )
     if ch.impl == "dft":
         return _wideband_raw_decode_dft_jit(
             jnp.asarray(raw[: per * t]),
@@ -465,7 +519,7 @@ class Pipeline:
         self.metrics = None              # optional PipelineMetrics sink
         self._overflow_warned = False
         self._metrics_lock = threading.Lock()
-        assert not (cfg.use_pallas and cfg.chan_impl == "dft"), (
+        assert not (cfg.use_pallas and cfg.chan_impl in ("dft", "pfb")), (
             "use_pallas applies to the dense matmul channelizer only"
         )
         self.sdrclk = cfg.resolved_sdrclk()
