@@ -89,6 +89,7 @@ def run_p(processes: int, capture: str, freqs_mhz: list[float], fc: int,
         "timed_s": round(stats["timed_s"], 3),
         "msps": round(msps, 3),
         "total_wall_s": round(wall, 1),
+        "phase_s": stats.get("phase_s", {}),
         "frames": sorted(frames),
     }
 
@@ -103,6 +104,9 @@ def main() -> int:
                     help="comma list (default: 1,2,..,cores)")
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="runs per process count; best throughput kept "
+                         "(2-core box timing noise is +-20%%)")
     ap.add_argument("--out", default="SCALING_MEASURED.json")
     args = ap.parse_args()
 
@@ -122,12 +126,17 @@ def main() -> int:
 
     runs = []
     for p in plist:
-        r = run_p(p, capture, freqs_mhz, fc, args.block_seconds, cores,
-                  args.devices_per_proc, args.timeout)
-        print(f"# P={p}: {r['msps']} Msps over {r['timed_windows']} windows"
-              f" ({r['cores_per_process']} cores/proc,"
-              f" {len(r['frames'])} frames)", file=sys.stderr)
-        runs.append(r)
+        best = None
+        for rep in range(args.repeats):
+            r = run_p(p, capture, freqs_mhz, fc, args.block_seconds, cores,
+                      args.devices_per_proc, args.timeout)
+            print(f"# P={p} rep{rep}: {r['msps']} Msps over"
+                  f" {r['timed_windows']} windows"
+                  f" ({r['cores_per_process']} cores/proc,"
+                  f" {len(r['frames'])} frames)", file=sys.stderr)
+            if best is None or r["msps"] > best["msps"]:
+                best = r
+        runs.append(best)
 
     # correctness: identical frame sets at every process count
     frame_sets = [set(r["frames"]) for r in runs]

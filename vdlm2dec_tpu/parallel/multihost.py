@@ -191,6 +191,11 @@ def _worker_main(argv=None) -> int:
         n_cands = 0
         cands_blocks = []
 
+        import time as _time
+
+        phase_s = {"channelize": 0.0, "collective_decode": 0.0,
+                   "finish": 0.0}
+
         def decode_span(lo_p: int, span_p: int):
             """Decode [lo_p, lo_p+span_p) periods across the mesh: this
             process channelizes only ITS period sub-slice (local file
@@ -199,8 +204,13 @@ def _worker_main(argv=None) -> int:
             per_host = span_p // args.num_processes
             my_lo = lo_p + args.process_id * per_host
             x = reader.read(my_lo * p_in, per_host * p_in)
+            tc = _time.monotonic()
             y_local = np.asarray(ch(x, period0=my_lo))
-            return dec.decode_local(y_local)
+            td = _time.monotonic()
+            out = dec.decode_local(y_local)
+            phase_s["channelize"] += td - tc
+            phase_s["collective_decode"] += _time.monotonic() - td
+            return out
 
         pipe = Pipeline(PipelineConfig(
             freqs_hz=freqs_hz, fs=args.fs, fc_hz=float(fc),
@@ -229,27 +239,30 @@ def _worker_main(argv=None) -> int:
             n_win = -(-periods // core_p)
             t_warm = None
             for wi in range(n_win):
+                tw0 = _time.monotonic()
                 cands = decode_span(wi * core_p - lmarg_p, total_p)
                 cands = [cd for cd in cands
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+                tf0 = _time.monotonic()
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
+                phase_s["finish"] += _time.monotonic() - tf0
                 n_cands += len(cands)
                 if wi == 0:
                     # window 0 carries the compile; the decode_span above
                     # is a real collective, so all processes align here
-                    import time as _time
-
                     t_warm = _time.monotonic()
+                    for k in phase_s:
+                        phase_s[k] = 0.0
             if args.timing and t_warm is not None and n_win > 1:
                 import json as _json
-                import time as _time
 
                 print("STATS " + _json.dumps({
                     "pid": args.process_id,
                     "timed_s": _time.monotonic() - t_warm,
                     "timed_windows": n_win - 1,
                     "global_samples_per_window": core_p * p_in,
-                    "frames_emitted_after_warmup": None,
+                    "phase_s": {k: round(v, 3)
+                                for k, v in phase_s.items()},
                 }), flush=True)
         print(f"DONE {args.process_id} {n_cands}", flush=True)
         return 0
