@@ -39,15 +39,16 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     sparse activity keeps large-channel-count synthesis affordable).
 
     Returns (wide, freqs, fc, truth) where truth is the per-burst ground
-    truth [(channel_index, frame content bytes), ...] used for recall
-    matching.  Synthesis is pure-host and slow, so the result is cached on
+    truth [(channel_index, frame content bytes, start84, len84), ...]
+    used for recall matching (positions at the 84 kHz decimated rate, so
+    the matcher can exclude bursts outside a truncated decode span).  Synthesis is pure-host and slow, so the result is cached on
     disk keyed by parameters."""
     import os
     import tempfile
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench4_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"vdlm2_bench5_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
         f"{active_every}_{base}.npz",
     )
     if os.path.exists(cache):
@@ -56,8 +57,9 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
             lens = z["truth_lens"]
             blob = z["truth_blob"].tobytes()
             offs = np.concatenate(([0], np.cumsum(lens)))
-            truth = [(int(c), blob[offs[i]:offs[i + 1]])
-                     for i, c in enumerate(z["truth_chan"])]
+            truth = [(int(c), blob[offs[i]:offs[i + 1]], int(p0), int(pl))
+                     for i, (c, p0, pl) in enumerate(zip(
+                         z["truth_chan"], z["truth_pos"], z["truth_len84"]))]
             return (z["wide"], [int(f) for f in z["freqs"]], int(z["fc"]),
                     truth)
         except Exception:
@@ -90,7 +92,7 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
     total_wide = int(fs * seconds)
     total_bb = int(DEMOD_RATE * seconds)
     wide = np.zeros(total_wide, dtype=np.complex128)
-    truth: list[tuple[int, bytes]] = []
+    truth: list[tuple[int, bytes, int, int]] = []
     for ci, f in enumerate(freqs):
         if ci % active_every:
             continue
@@ -106,17 +108,20 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
                 # edge burst was the 64ch config's lone recall miss)
                 break
             bb[pos : pos + len(burst)] += burst
-            truth.append((ci, content.tobytes()))
+            truth.append((ci, content.tobytes(), pos, len(burst)))
             pos += len(burst) + int(rng.integers(2000, 12000))
         wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total_wide)
     noise = rng.normal(size=total_wide) + 1j * rng.normal(size=total_wide)
     wide = (wide + 0.02 * noise).astype(np.complex64)
     try:
         np.savez(cache, wide=wide, freqs=np.array(freqs), fc=fc,
-                 truth_chan=np.array([c for c, _ in truth], np.int32),
-                 truth_lens=np.array([len(b) for _, b in truth], np.int64),
+                 truth_chan=np.array([t_[0] for t_ in truth], np.int32),
+                 truth_lens=np.array([len(t_[1]) for t_ in truth],
+                                     np.int64),
                  truth_blob=np.frombuffer(
-                     b"".join(b for _, b in truth), np.uint8))
+                     b"".join(t_[1] for t_ in truth), np.uint8),
+                 truth_pos=np.array([t_[2] for t_ in truth], np.int64),
+                 truth_len84=np.array([t_[3] for t_ in truth], np.int64))
     except OSError:
         pass
     return wide, freqs, fc, truth
@@ -188,7 +193,12 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
     # images) or spurious (content matching nothing synthesized)
     from collections import Counter
 
-    want = Counter(truth)
+    # only bursts fully inside the decoded span count (the Pallas path
+    # truncates t to 32-period alignment, dropping up to 0.03 s of tail)
+    span84 = t // pipe.channelizer.p_in * pipe.channelizer.p_out
+    in_span = [(c, cb) for c, cb, p0, pl in truth if p0 + pl <= span84]
+    n_bursts = len(in_span)
+    want = Counter(in_span)
     got = Counter()
     for b in bursts:
         for f in b.frames:

@@ -334,14 +334,21 @@ def test_arinc_never_crashes_on_garbage():
     for _ in range(300):
         blob = bytes(rng.integers(0, 256, int(rng.integers(0, 40))).tolist())
         arinc.parse_adsc_downlink(blob)          # must not raise
+        arinc.parse_adsc_uplink(blob)            # must not raise
         try:
             fans.decode_downlink(blob)
         except ValueError:
             pass                                  # the one allowed failure
+        try:
+            fans.decode_uplink(blob)
+        except ValueError:
+            pass
         oooi = Oooi()
         arinc.arinc_decode(wrap("ADS", blob), "B6",
                            chr(int(rng.integers(0x20, 0x7F))), oooi)
         arinc.arinc_decode(wrap("AT1", blob), "B6", "2", oooi)
+        arinc.arinc_decode(wrap("ADS", blob), "B6", "A", oooi)
+        arinc.arinc_decode(wrap("AT1", blob), "B6", "A", oooi)
     # non-envelope garbage text
     for _ in range(100):
         txt = "".join(chr(c) for c in rng.integers(0x20, 0x7F, 30))

@@ -37,7 +37,7 @@ def test_bf16_frame_parity_fused(chan_impl):
             compute=compute,
         )
         got[compute] = _frames(Pipeline(cfg), raw)
-    want = sorted((c, b) for c, b in truth)
+    want = sorted((c, b) for c, b, *_ in truth)
     assert got["f32"] == want            # baseline decodes everything
     assert got["bf16"] == got["f32"]
 
@@ -58,7 +58,7 @@ def test_bf16_frame_parity_channelizer_path():
             (b.channel, bytes(bytearray(f[1:-3])))
             for b in bursts for f in b.frames
         )
-    assert got["bf16"] == got["f32"] == sorted(truth)
+    assert got["bf16"] == got["f32"] == sorted((c, b) for c, b, *_ in truth)
 
 
 def test_bf16_decimated_samples_close():

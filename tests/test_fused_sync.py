@@ -58,7 +58,7 @@ def test_fused_frame_parity(chan_impl, compute):
             compute=compute, sync_impl=sync_impl,
         )
         got[sync_impl] = _frames(Pipeline(cfg), raw)
-    assert got["xla"] == sorted(truth)
+    assert got["xla"] == sorted((c, b) for c, b, *_ in truth)
     assert got["fused"] == got["xla"]
 
 
@@ -76,4 +76,4 @@ def test_fused_streaming_matches_one_shot():
         for bs in pipe.stream_wideband_u8(raw, block_seconds=0.5)
         for b in bs for f in b.frames
     )
-    assert frames == sorted(truth)
+    assert frames == sorted((c, b) for c, b, *_ in truth)

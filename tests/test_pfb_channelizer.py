@@ -51,7 +51,7 @@ def test_pfb_frame_parity_fused():
             (b.channel, bytes(bytearray(f[1:-3])))
             for b in bursts for f in b.frames
         )
-    assert got["dft"] == sorted(truth)
+    assert got["dft"] == sorted((c, b) for c, b, *_ in truth)
     assert got["pfb"] == got["dft"]
 
 

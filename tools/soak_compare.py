@@ -64,10 +64,14 @@ r = subprocess.run(
 ref = [json.loads(l) for l in r.stdout.splitlines() if l.strip().startswith("{")]
 print(f"reference decoded: {len(ref)}", flush=True)
 
-# ours (u8 fast path; --dft: residue-space channelizer)
-impl = "dft" if "--dft" in sys.argv else "matmul"
+# ours (u8 fast path; --dft/--pfb: residue-space channelizers;
+# --fused: Pallas sync + inline demod; --bf16: reduced-precision matmuls)
+impl = "dft" if "--dft" in sys.argv else (
+    "pfb" if "--pfb" in sys.argv else "matmul")
 cfg = PipelineConfig(freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
-                     max_symbols=1024, max_candidates=32, chan_impl=impl)
+                     max_symbols=1024, max_candidates=32, chan_impl=impl,
+                     sync_impl="fused" if "--fused" in sys.argv else "xla",
+                     compute="bf16" if "--bf16" in sys.argv else "f32")
 pipe = Pipeline(cfg)
 buf = io.StringIO()
 dec = FrameDecoder(OutputConfig(verbose=0, jsonout=True, logfile=buf))

@@ -282,24 +282,29 @@ def demod_candidates_inline(
 
     def one(ci, t0c, ofc, dfc):
         clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)
-        # indexed gathers, NOT dynamic_slice: a vmapped dynamic_slice can
-        # lower to a per-lane broadcast of the whole ypad (32 copies of a
-        # 300 MB tensor OOMed the whole-band config); explicit gather
-        # keeps it a gather
-        win = ypad[ci, t0c + jnp.arange(17)]          # (17, 2)
+        # indexed gather, NOT dynamic_slice: a vmapped dynamic_slice on
+        # the big shared ypad can lower to a per-lane broadcast of the
+        # whole tensor (32 copies of a 300 MB tensor OOMed the whole-band
+        # config); one contiguous gather per candidate keeps it a gather
+        w = ypad[ci, t0c + jnp.arange(win_len)]       # (win_len, 2)
+        win = w[:17]
         taps1 = jnp.asarray(_EXT_TAPS)[clk0]
         s1v = jnp.sum(win * taps1[:, None], axis=0)
         p1 = jnp.arctan2(s1v[1], s1v[0])
         phi = clk0 % 4
         s1 = (32 - clk0 + 3) // 4
         # symbol k's filter window is y[pos_k - 16 .. pos_k] with
-        # pos_k = t0c + s1 + 8k, i.e. ypad[t0c + s1 + 8k ..  +17)
-        idx = t0c + s1 + 8 * jnp.arange(max_symbols)[:, None] \
-            + jnp.arange(17)[None, :]                 # (ms, 17)
-        sym = ypad[ci, idx]                           # (ms, 17, 2)
+        # pos_k = t0c + s1 + 8k, i.e. w[s1 + 8k .. +17): one small
+        # per-candidate dynamic_slice to kill the s1 offset, then 17
+        # STATIC strided slices weight-summed (tap j is a scalar from the
+        # dynamically selected polyphase row) — ~17x fewer gathered
+        # elements than a (ms, 17) fancy-index gather
+        ws = jax.lax.dynamic_slice(
+            w, (s1, 0), (8 * max_symbols + 17, 2))
         taps = poly[phi]                              # (17,)
-        f = jnp.einsum("skp,k->sp", sym, taps,
-                       preferred_element_type=jnp.float32)
+        f = taps[0] * ws[0 : 8 * max_symbols : 8]
+        for j in range(1, 17):
+            f = f + taps[j] * ws[j : j + 8 * max_symbols : 8]
         p = jnp.arctan2(f[:, 1], f[:, 0])
         pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
         d = (p - pprev) - dfc
