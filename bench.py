@@ -430,8 +430,10 @@ def main():
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",
                     help="skip the 64/76-channel configs")
     ap.set_defaults(scale=True)
-    ap.add_argument("--band-core", type=float, default=0.2,
-                    help="whole-band streaming core seconds per dispatch")
+    ap.add_argument("--band-core", type=float, default=0.5,
+                    help="whole-band streaming core seconds per dispatch "
+                         "(0.5 s compiles on the fused sync path; the xla "
+                         "path tops out at 0.2)")
     ap.add_argument("--band", action="store_true",
                     help="add the whole-VDL-band config: 760 channels at "
                          "25 kHz across 118.5-137.5 MHz from a 20 Msps "
@@ -460,6 +462,19 @@ def main():
         compute=args.compute, sync_impl=args.sync_impl,
     )
     extra: dict = {}
+    if (args.scale and args.compute == "f32" and args.sync_impl == "xla"
+            and time.perf_counter() - t_start < args.budget_s):
+        # record the opt-in fast path (bf16 matmuls + fused Pallas sync)
+        # next to the parity-default primary
+        try:
+            extra["fast_8ch_bf16_fused"] = run_config(
+                args.channels, args.seconds, args.iters, args.max_symbols,
+                args.max_candidates, False, chan_impl=args.chan_impl,
+                compute="bf16", sync_impl="fused",
+            )
+        except Exception as e:
+            print(f"# bf16+fused config failed: {e}", file=sys.stderr)
+            extra["fast_8ch_bf16_fused"] = {"error": str(e)}
     if args.scale:
         # the residue-space channelizer wins ~2x at high channel counts
         # (76ch measured 18.1 vs 9.2 Msps, identical recall).  Both scale
@@ -497,12 +512,15 @@ def main():
             # remote compiler's working range (the optimization_barrier in
             # _device_decode_packed buys 4x over the first cut); 512
             # symbols covers the capture's largest bursts
+            # the fused sync path is what compiles at 0.5 s cores (the
+            # xla path's materialized filter tensor + demod gather blow
+            # HBM past (760, ~21000) blocks)
             extra["scale_band_760ch"] = run_config(
                 760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
                 fs=20_000_000, base=118_500_000, chan_impl="dft",
                 block_seconds=args.band_core,
-                compute=args.compute, sync_impl=args.sync_impl,
+                compute=args.compute, sync_impl="fused",
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)

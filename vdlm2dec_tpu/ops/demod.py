@@ -294,17 +294,17 @@ def demod_candidates_inline(
         phi = clk0 % 4
         s1 = (32 - clk0 + 3) // 4
         # symbol k's filter window is y[pos_k - 16 .. pos_k] with
-        # pos_k = t0c + s1 + 8k, i.e. w[s1 + 8k .. +17): one small
-        # per-candidate dynamic_slice to kill the s1 offset, then 17
-        # STATIC strided slices weight-summed (tap j is a scalar from the
-        # dynamically selected polyphase row) — ~17x fewer gathered
-        # elements than a (ms, 17) fancy-index gather
-        ws = jax.lax.dynamic_slice(
-            w, (s1, 0), (8 * max_symbols + 17, 2))
+        # pos_k = t0c + s1 + 8k, i.e. w[s1 + 8k .. +17) — fetched as one
+        # (ms, 17) fancy-index gather on the small per-candidate window.
+        # (A 17x-fewer-elements variant via strided static slices measured
+        # 5x SLOWER on TPU: stride-8 slicing along the sublane-mapped axis
+        # forces relayouts under vmap.  Keep the gather.)
+        idx = s1 + 8 * jnp.arange(max_symbols)[:, None] \
+            + jnp.arange(17)[None, :]                 # (ms, 17)
+        sym = w[idx]                                  # (ms, 17, 2)
         taps = poly[phi]                              # (17,)
-        f = taps[0] * ws[0 : 8 * max_symbols : 8]
-        for j in range(1, 17):
-            f = f + taps[j] * ws[j : j + 8 * max_symbols : 8]
+        f = jnp.einsum("skp,k->sp", sym, taps,
+                       preferred_element_type=jnp.float32)
         p = jnp.arctan2(f[:, 1], f[:, 0])
         pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
         d = (p - pprev) - dfc
