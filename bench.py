@@ -514,11 +514,13 @@ def main():
             # symbols covers the capture's largest bursts
             # the fused sync path is what compiles at 0.5 s cores (the
             # xla path's materialized filter tensor + demod gather blow
-            # HBM past (760, ~21000) blocks)
+            # HBM past (760, ~21000) blocks); the pfb channelizer wins
+            # 2.2x over dft at 760 channels (22.6 vs 10.4 Msps measured,
+            # same 15/15 recall) — O(a+b) vs O(C) per output
             extra["scale_band_760ch"] = run_config(
                 760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
-                fs=20_000_000, base=118_500_000, chan_impl="dft",
+                fs=20_000_000, base=118_500_000, chan_impl="pfb",
                 block_seconds=args.band_core,
                 compute=args.compute, sync_impl="fused",
             )
