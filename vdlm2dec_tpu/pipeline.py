@@ -775,22 +775,26 @@ class Pipeline:
                 )
             return self._finish(cands, t_offset=t_off, prev_end=prev_end)
 
-        for i in range(start_block, n_core):
-            t_off = i * core_dec
-            if pd is None:
-                yield finish(
-                    self.decode_wideband_u8(seg_bytes(i), fmt=fmt,
-                                            core_start=lmarg_dec,
-                                            core_len=core_dec),
-                    t_off,
-                )
-            else:
-                pending.append(t_off)
-                for cands in pd.submit(seg_bytes(i)):
+        try:
+            for i in range(start_block, n_core):
+                t_off = i * core_dec
+                if pd is None:
+                    yield finish(
+                        self.decode_wideband_u8(seg_bytes(i), fmt=fmt,
+                                                core_start=lmarg_dec,
+                                                core_len=core_dec),
+                        t_off,
+                    )
+                else:
+                    pending.append(t_off)
+                    for cands in pd.submit(seg_bytes(i)):
+                        yield finish(cands, pending.pop(0))
+            if pd is not None:
+                for cands in pd.drain():
                     yield finish(cands, pending.pop(0))
-        if pd is not None:
-            for cands in pd.drain():
-                yield finish(cands, pending.pop(0))
+        finally:
+            if pd is not None:
+                pd.close()      # even when the generator is abandoned
 
     def stream_live(self, source, fmt: str = "cu8", block_seconds: float = 2.0):
         """Incremental decode of a pipe/growing stream (e.g. rtl_sdr |).
@@ -892,27 +896,30 @@ class Pipeline:
                     win = win[keep_from - win_base :]
                     win_base = keep_from
 
-        for raw in stream_raw_blocks(source, fmt, core_p * p_in,
-                                     counter=real_items):
-            win = np.concatenate([win, raw])
-            blocks_fed += 1
-            for seg in ready_segments():
-                pending.append(next_block * core_dec)
-                for cands in pd.submit(seg):
-                    yield finish(cands, pending.pop(0))
-        # EOF: pad the right margin so every fed block decodes
-        if next_block < blocks_fed:
-            need = ((blocks_fed * core_p + rmarg_p) * items_p
-                    - (win_base + len(win)))
-            if need > 0:
-                win = np.concatenate(
-                    [win, np.full(need, pad_val, dtype=dtype)])
-            for seg in ready_segments():
-                pending.append(next_block * core_dec)
-                for cands in pd.submit(seg):
-                    yield finish(cands, pending.pop(0))
-        for cands in pd.drain():
-            yield finish(cands, pending.pop(0))
+        try:
+            for raw in stream_raw_blocks(source, fmt, core_p * p_in,
+                                         counter=real_items):
+                win = np.concatenate([win, raw])
+                blocks_fed += 1
+                for seg in ready_segments():
+                    pending.append(next_block * core_dec)
+                    for cands in pd.submit(seg):
+                        yield finish(cands, pending.pop(0))
+            # EOF: pad the right margin so every fed block decodes
+            if next_block < blocks_fed:
+                need = ((blocks_fed * core_p + rmarg_p) * items_p
+                        - (win_base + len(win)))
+                if need > 0:
+                    win = np.concatenate(
+                        [win, np.full(need, pad_val, dtype=dtype)])
+                for seg in ready_segments():
+                    pending.append(next_block * core_dec)
+                    for cands in pd.submit(seg):
+                        yield finish(cands, pending.pop(0))
+            for cands in pd.drain():
+                yield finish(cands, pending.pop(0))
+        finally:
+            pd.close()          # even when the generator is abandoned
 
     def stream_channels(self, y: np.ndarray, core_len: int | None = None):
         if isinstance(y, np.ndarray) and np.iscomplexobj(y):
@@ -1024,6 +1031,7 @@ class PipelinedDecoder:
         self._results: dict[int, object] = {}
         self._seq_in = 0                   # blocks dispatched
         self._seq_out = 0                  # blocks yielded
+        self._stopping = False             # sentinels posted
         self._threads = [
             threading.Thread(target=self._fetch_loop, daemon=True)
             for _ in range(self.workers)
@@ -1080,12 +1088,30 @@ class PipelinedDecoder:
             self._seq_in += 1
         yield from self._emit_ready(wait=False)
 
+    def _stop(self):
+        if not self._stopping:
+            self._stopping = True
+            for _ in self._threads:
+                self._q.put(None)
+
+    def close(self):
+        """Stop and JOIN the fetch workers.  Idempotent; callers must
+        reach this on every exit path (the streaming generators do it in
+        a finally):  a daemon thread still blocked in queue.get() at
+        interpreter shutdown gets pthread_exit()ed by CPython, whose
+        forced unwind aborts the process when it crosses C++ frames
+        ("FATAL: exception not rethrown", SIGABRT) — observed ~1/10 CLI
+        runs under load before this join existed."""
+        self._stop()
+        for th in self._threads:
+            th.join(timeout=300)
+
     def drain(self):
         """Finish: yields remaining results in order; the decoder is then
         closed."""
-        for _ in self._threads:
-            self._q.put(None)
+        self._stop()
         yield from self._emit_ready(wait=True)
+        self.close()
 
 
 def deframe_corrected(block: np.ndarray, nbrow: int, nlbyte: int) -> list[np.ndarray]:
