@@ -87,22 +87,36 @@ class MultiHostDecoder:
             )
         )
 
-    def decode_local(self, y_local: np.ndarray) -> list[dict]:
+    def dispatch(self, y_local: np.ndarray):
+        """Enqueue the collective decode of this process's slice and return
+        the (async) global result array WITHOUT materializing it.  JAX
+        dispatch is asynchronous, so the cross-host rendezvous and the
+        shard compute proceed in the runtime while the caller channelizes
+        the next window — the double-buffering that hides per-window
+        collective latency (SCALING.md)."""
         from jax.experimental import multihost_utils
 
         from ..ops.demod import pack_complex
-        from ..pipeline import unpack_results
 
         if np.iscomplexobj(y_local):
             y_local = pack_complex(y_local)
         g = multihost_utils.host_local_array_to_global_array(
             np.asarray(y_local, dtype=np.float32), self.mesh, self._spec
         )
-        out = self._step(g)
+        return self._step(g)
+
+    def fetch(self, out) -> list[dict]:
+        """Materialize a dispatch() result: block on this host's shards and
+        unpack the candidate rows whose triggers live in them."""
+        from ..pipeline import unpack_results
+
         rows = [np.asarray(s.data) for s in out.addressable_shards]
         if not rows:
             return []
         return unpack_results(np.concatenate(rows, axis=0))
+
+    def decode_local(self, y_local: np.ndarray) -> list[dict]:
+        return self.fetch(self.dispatch(y_local))
 
 
 # -- worker --------------------------------------------------------------------
@@ -196,21 +210,27 @@ def _worker_main(argv=None) -> int:
         phase_s = {"channelize": 0.0, "collective_decode": 0.0,
                    "finish": 0.0}
 
-        def decode_span(lo_p: int, span_p: int):
-            """Decode [lo_p, lo_p+span_p) periods across the mesh: this
-            process channelizes only ITS period sub-slice (local file
-            read, no cross-host raw traffic) and keeps its shards'
-            candidates."""
+        def dispatch_span(lo_p: int, span_p: int):
+            """Enqueue the decode of [lo_p, lo_p+span_p) periods across the
+            mesh: this process channelizes only ITS period sub-slice (local
+            file read, no cross-host raw traffic) and dispatches the
+            collective WITHOUT blocking on the result."""
             per_host = span_p // args.num_processes
             my_lo = lo_p + args.process_id * per_host
             x = reader.read(my_lo * p_in, per_host * p_in)
             tc = _time.monotonic()
             y_local = np.asarray(ch(x, period0=my_lo))
-            td = _time.monotonic()
-            out = dec.decode_local(y_local)
-            phase_s["channelize"] += td - tc
-            phase_s["collective_decode"] += _time.monotonic() - td
-            return out
+            phase_s["channelize"] += _time.monotonic() - tc
+            return dec.dispatch(y_local)
+
+        def fetch_span(out):
+            tc = _time.monotonic()
+            cands = dec.fetch(out)
+            phase_s["collective_decode"] += _time.monotonic() - tc
+            return cands
+
+        def decode_span(lo_p: int, span_p: int):
+            return fetch_span(dispatch_span(lo_p, span_p))
 
         pipe = Pipeline(PipelineConfig(
             freqs_hz=freqs_hz, fs=args.fs, fc_hz=float(fc),
@@ -228,7 +248,12 @@ def _worker_main(argv=None) -> int:
             # halo margins, like the single-host stream); window-edge
             # shards see zero halos only in regions the core filter
             # discards, so every owned burst has real margins; memory per
-            # host = one window slice
+            # host = one window slice.  Windows are DOUBLE-BUFFERED:
+            # window w+1 is channelized and dispatched before window w's
+            # result is fetched, so the per-window collective rendezvous
+            # and the cross-process skew of emit/file-IO overlap with
+            # compute instead of landing on the critical path
+            # (SCALING.md's measured ~170 ms/window gap at P=2).
             from ..pipeline import stream_geometry
 
             lmarg_p, _rm, core_p, total_p = stream_geometry(
@@ -238,21 +263,32 @@ def _worker_main(argv=None) -> int:
             core_dec = core_p * p_out
             n_win = -(-periods // core_p)
             t_warm = None
-            for wi in range(n_win):
-                tw0 = _time.monotonic()
-                cands = decode_span(wi * core_p - lmarg_p, total_p)
-                cands = [cd for cd in cands
+
+            def finish_window(wi: int, out) -> int:
+                cands = [cd for cd in fetch_span(out)
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
                 tf0 = _time.monotonic()
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
                 phase_s["finish"] += _time.monotonic() - tf0
-                n_cands += len(cands)
+                return len(cands)
+
+            pending = None           # (wi, in-flight dispatch)
+            for wi in range(n_win):
+                out = dispatch_span(wi * core_p - lmarg_p, total_p)
                 if wi == 0:
-                    # window 0 carries the compile; the decode_span above
-                    # is a real collective, so all processes align here
+                    # window 0 carries the compile and is finished
+                    # synchronously; the collective aligns all processes,
+                    # making this the warmup boundary
+                    n_cands += finish_window(0, out)
                     t_warm = _time.monotonic()
                     for k in phase_s:
                         phase_s[k] = 0.0
+                else:
+                    if pending is not None:
+                        n_cands += finish_window(*pending)
+                    pending = (wi, out)
+            if pending is not None:
+                n_cands += finish_window(*pending)
             if args.timing and t_warm is not None and n_win > 1:
                 import json as _json
 
