@@ -107,3 +107,47 @@ def test_windowed_streaming_matches_oneshot(tmp_path):
     oneshot, _ = _frames(outs_oneshot)
     assert len(oneshot) == 3
     assert streamed == oneshot
+
+
+def test_worker_json_output_surface(tmp_path):
+    """--output json routes each host's owned bursts through the full
+    single-host FrameDecoder surface: the ACARS payload comes out as the
+    same JSON line the CLI would print, exactly once across hosts."""
+    import json
+
+    from vdlm2dec_tpu import framegen as fg
+    from vdlm2dec_tpu import modulator as mod2
+    from vdlm2dec_tpu.io.sdr import write_capture
+
+    rng = np.random.default_rng(23)
+    fs = 2_000_000
+    t_raw = 250 * 2000
+    total_dec = t_raw * 84 // 2000
+    c = fg.acars_frame(text="MHJSON", label="Q0")
+    sig = mod2.synthesize_baseband(mod2.make_burst([c]), start=4000,
+                                   total=total_dec)
+    wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 30
+    wide += rng.normal(size=t_raw) + 1j * rng.normal(size=t_raw)
+    cap = str(tmp_path / "mh_json.cu8")
+    write_capture(cap, wide, "cu8")
+
+    outs = launch_local(
+        2,
+        ["--iq", cap, "--fc", "136900000", "136.975",
+         "--time-shards", "8", "--max-symbols", "512",
+         "--max-candidates", "4",
+         "--output", "json", "--station", "MH", "--start-time", "1e9"],
+        local_devices=4,
+    )
+    recs = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                recs.append(json.loads(line))
+    assert len(recs) == 1
+    (rec,) = recs
+    assert rec["text"] == "MHJSON"
+    assert rec["station_id"] == "MH"
+    assert rec["freq"] == 136.975
+    # no raw FRAME lines in decoded-output mode
+    assert not any("FRAME " in out for out in outs)

@@ -147,6 +147,15 @@ def _worker_main(argv=None) -> int:
                     help="windowed mode: print a STATS json line with the "
                          "post-warmup wall time and global samples covered "
                          "(window 0 = compile+warmup, excluded)")
+    ap.add_argument("--output", choices=("frames", "json", "text"),
+                    default="frames",
+                    help="frames: machine-readable 'FRAME chan t0 hex' "
+                         "lines (default; what the scaling bench "
+                         "cross-checks); json/text: the full single-host "
+                         "decode surface (ACARS/XID/CPDLC) per host")
+    ap.add_argument("--station", default="", help="station id for json")
+    ap.add_argument("--start-time", type=float, default=None,
+                    help="capture start unix time (json/text timestamps)")
     args = ap.parse_args(argv)
 
     import jax
@@ -176,11 +185,35 @@ def _worker_main(argv=None) -> int:
 
     prev_end: dict[int, int] = {}
 
+    fdec = None
+    if args.output != "frames":
+        # full single-host output surface, one decoded stream per host.
+        # Frame ownership is per-shard (the trigger's shard), so streams
+        # never overlap and merging = concatenating.  Flight-tracker
+        # (route/registration MRU) state is per host: with time sharded
+        # across hosts a flight seen in different time windows may hit
+        # different trackers — same behaviour as running N reference
+        # instances on split captures; aggregate downstream if needed.
+        from ..host.decoder import FrameDecoder
+        from ..host.output import OutputConfig
+
+        fdec = FrameDecoder(
+            OutputConfig(
+                verbose=0 if args.output == "json" else 2,
+                jsonout=args.output == "json",
+                station_id=args.station,
+            ),
+            time_base=args.start_time,
+        )
+
     def emit(pipe, cands, t_off):
         for b in pipe._finish(cands, t_offset=t_off, prev_end=prev_end):
-            for fr in b.frames:
-                print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}",
-                      flush=True)
+            if fdec is not None:
+                fdec.process_burst(b)
+            else:
+                for fr in b.frames:
+                    print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}",
+                          flush=True)
 
     if args.y_npy is not None:
         y = np.load(args.y_npy)                      # (C, T) complex
