@@ -151,3 +151,64 @@ def test_worker_json_output_surface(tmp_path):
     assert rec["freq"] == 136.975
     # no raw FRAME lines in decoded-output mode
     assert not any("FRAME " in out for out in outs)
+
+
+def test_worker_formats_cs16_and_f32real(tmp_path):
+    """The worker decodes every CLI capture format, not just cu8:
+    cs16 (complex int16) and the airspy-style f32real arrangement
+    (channels at fc + fs/4, imaginary plane zeroed)."""
+    from vdlm2dec_tpu import framegen as fg
+    from vdlm2dec_tpu import modulator as mod2
+    from vdlm2dec_tpu.io.sdr import write_capture
+
+    rng = np.random.default_rng(31)
+    fs = 2_000_000
+    t_raw = 250 * 2000
+    total_dec = t_raw * 84 // 2000
+
+    # cs16: same complex stimulus as the cu8 tests, int16 wire format
+    c16 = fg.acars_frame(text="CS16FMT", label="Q0")
+    sig = mod2.synthesize_baseband(mod2.make_burst([c16]), start=4000,
+                                   total=total_dec)
+    wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 900
+    wide += 30 * (rng.normal(size=t_raw) + 1j * rng.normal(size=t_raw))
+    cap16 = str(tmp_path / "mh.cs16")
+    write_capture(cap16, wide, "cs16")
+    outs = launch_local(
+        2,
+        ["--iq", cap16, "--format", "cs16", "--fc", "136900000",
+         "136.975", "--time-shards", "8", "--max-symbols", "512",
+         "--max-candidates", "4"],
+        local_devices=4,
+    )
+    frames, _ = _frames(outs)
+    assert len(frames) == 1
+    assert bytes.fromhex(next(iter(frames))[2])[1:-3] == bytes(c16)
+
+    # f32real: real capture, channel at fo = freq - (fc + fs/4)
+    freq, fc = 136_975_000, 136_800_000
+    fo = freq - (fc + fs / 4)
+    cre = fg.acars_frame(text="REALFMT", label="Q0")
+    bb = mod2.synthesize_baseband(mod2.make_burst([cre]), start=4000,
+                                  total=total_dec)
+    ratio = fs / 84_000
+    n = t_raw
+    tt = np.arange(n) / ratio
+    i0 = np.clip(np.floor(tt).astype(int), 0, len(bb) - 2)
+    frac = tt - i0
+    up = bb[i0] * (1 - frac) + bb[i0 + 1] * frac
+    real_sig = 2.0 * np.real(
+        up * np.exp(1j * 2 * np.pi * fo / fs * np.arange(n)))
+    real_sig = (real_sig * 30 + rng.normal(size=n)).astype(np.float32)
+    capf = str(tmp_path / "mh.f32")
+    write_capture(capf, real_sig, "f32real")
+    outs = launch_local(
+        2,
+        ["--iq", capf, "--format", "f32real", "--fc", str(fc),
+         "136.975", "--time-shards", "8", "--max-symbols", "512",
+         "--max-candidates", "4"],
+        local_devices=4,
+    )
+    frames, _ = _frames(outs)
+    assert len(frames) == 1
+    assert bytes.fromhex(next(iter(frames))[2])[1:-3] == bytes(cre)

@@ -227,6 +227,11 @@ def write_capture(path: str, x: np.ndarray, fmt: str) -> None:
         inter[0::2] = np.real(x) + RTL_DC_OFFSET
         inter[1::2] = np.imag(x) + RTL_DC_OFFSET
         np.clip(np.round(inter), 0, 255).astype(np.uint8).tofile(path)
+    elif fmt == "cs16":
+        inter = np.empty(2 * len(x), dtype=np.float32)
+        inter[0::2] = np.real(x)
+        inter[1::2] = np.imag(x)
+        np.clip(np.round(inter), -32768, 32767).astype(np.int16).tofile(path)
     elif fmt == "cf32":
         inter = np.empty(2 * len(x), dtype=np.float32)
         inter[0::2] = np.real(x)

@@ -132,7 +132,15 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--chan-shards", type=int, default=1)
     ap.add_argument("--time-shards", type=int, default=0,
                     help="global time shards (default: all devices / chan)")
-    ap.add_argument("--iq", default=None, help="cu8 capture (shared path)")
+    ap.add_argument("--iq", default=None, help="capture path (shared fs)")
+    ap.add_argument("--format", default="cu8",
+                    choices=("cu8", "cs16", "cf32", "f32real"),
+                    help="capture sample format (f32real = airspy-style "
+                         "real capture; channels sit at fc + fs/4)")
+    ap.add_argument("--chan-impl", default="matmul",
+                    choices=("matmul", "dft", "pfb"),
+                    help="channelizer implementation (dft/pfb: residue-"
+                         "space variants for high channel counts)")
     ap.add_argument("--y-npy", default=None,
                     help="decimated (C, T) complex .npy (test input)")
     ap.add_argument("--fs", type=int, default=2_000_000)
@@ -224,15 +232,23 @@ def _worker_main(argv=None) -> int:
         cands_blocks = [(dec.decode_local(y_local), 0)]
         n_cands = len(cands_blocks[0][0])
     else:
-        from ..io.sdr import CaptureReader, choose_fc
+        from ..io.sdr import CaptureReader, choose_fc, choose_fc_airspy
         from ..ops.channelizer import Channelizer
 
+        real_input = args.format == "f32real"
         freqs_hz = [f * 1e6 for f in args.freqs]
-        fc = args.fc if args.fc is not None else choose_fc(
-            [int(f) for f in freqs_hz], args.fs
-        )
-        reader = CaptureReader(args.iq, "cu8")
-        ch = Channelizer([f - fc for f in freqs_hz], fs=args.fs)
+        if args.fc is not None:
+            fc = args.fc
+        elif real_input:
+            fc = choose_fc_airspy([int(f) for f in freqs_hz], args.fs)
+        else:
+            fc = choose_fc([int(f) for f in freqs_hz], args.fs)
+        reader = CaptureReader(args.iq, args.format)
+        # airspy-style real captures put the band at fc + fs/4
+        # (pipeline.py builds the single-host channelizer the same way)
+        f0 = fc + args.fs / 4 if real_input else fc
+        ch = Channelizer([f - f0 for f in freqs_hz], fs=args.fs,
+                         real_input=real_input, impl=args.chan_impl)
         p_in, p_out = ch.p_in, ch.p_out
         periods = len(reader) // p_in
         n_cands = 0
@@ -267,7 +283,7 @@ def _worker_main(argv=None) -> int:
 
         pipe = Pipeline(PipelineConfig(
             freqs_hz=freqs_hz, fs=args.fs, fc_hz=float(fc),
-            max_symbols=args.max_symbols,
+            real_input=real_input, max_symbols=args.max_symbols,
         ))
         if not args.block_seconds:
             per_host = periods // args.num_processes
