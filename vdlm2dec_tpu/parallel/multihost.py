@@ -155,6 +155,16 @@ def _worker_main(argv=None) -> int:
                     help="windowed mode: print a STATS json line with the "
                          "post-warmup wall time and global samples covered "
                          "(window 0 = compile+warmup, excluded)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="windowed mode: per-host resume state is kept in "
+                         "<path>.p<process_id>; on restart every host "
+                         "resumes at the earliest unfinished window across "
+                         "hosts (the collective sequence must realign) and "
+                         "skips re-emitting windows it already emitted — "
+                         "exactly-once output per host")
+    ap.add_argument("--abort-after-window", type=int, default=-1,
+                    help="test hook: exit cleanly right after this "
+                         "window's result is emitted and checkpointed")
     ap.add_argument("--output", choices=("frames", "json", "text"),
                     default="frames",
                     help="frames: machine-readable 'FRAME chan t0 hex' "
@@ -313,38 +323,88 @@ def _worker_main(argv=None) -> int:
             n_win = -(-periods // core_p)
             t_warm = None
 
+            import json as _json
+
+            # checkpoint/resume: my_done = last window THIS host emitted
+            # and persisted.  Every host must replay the same collective
+            # sequence, so the shared resume point is the allgather-min of
+            # per-host cursors; a host ahead of it re-decodes those
+            # windows (fetch keeps the collectives aligned) but skips
+            # re-emitting them — exactly-once output per host.
+            ckpt_path = (f"{args.checkpoint}.p{args.process_id}"
+                         if args.checkpoint else None)
+            my_done = -1
+            if ckpt_path and os.path.exists(ckpt_path):
+                with open(ckpt_path) as fh:
+                    st = _json.load(fh)
+                my_done = int(st["done_through"])
+                prev_end.update({int(k): int(v)
+                                 for k, v in st["prev_end"].items()})
+            if args.num_processes > 1:
+                from jax.experimental import multihost_utils
+
+                done_all = multihost_utils.process_allgather(
+                    np.asarray([my_done], np.int32))
+                resume_w = int(done_all.min()) + 1
+            else:
+                resume_w = my_done + 1
+
             def finish_window(wi: int, out) -> int:
                 cands = [cd for cd in fetch_span(out)
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+                if wi <= my_done:
+                    # replayed for collective alignment only: this host
+                    # already emitted it (prev_end from the checkpoint
+                    # carries its burst-span suppression)
+                    return 0
                 tf0 = _time.monotonic()
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
                 phase_s["finish"] += _time.monotonic() - tf0
+                if ckpt_path:
+                    tmp = ckpt_path + ".tmp"
+                    with open(tmp, "w") as fh:
+                        _json.dump({"done_through": wi,
+                                    "prev_end": {str(k): int(v)
+                                                 for k, v in
+                                                 prev_end.items()}}, fh)
+                    os.replace(tmp, ckpt_path)
                 return len(cands)
 
+            aborted = False
+            n_timed = 0              # windows finished after warmup
             pending = None           # (wi, in-flight dispatch)
-            for wi in range(n_win):
+            for wi in range(resume_w, n_win):
                 out = dispatch_span(wi * core_p - lmarg_p, total_p)
-                if wi == 0:
-                    # window 0 carries the compile and is finished
-                    # synchronously; the collective aligns all processes,
-                    # making this the warmup boundary
-                    n_cands += finish_window(0, out)
+                if wi == resume_w:
+                    # the first (resumed) window carries the compile and
+                    # is finished synchronously; the collective aligns
+                    # all processes, making this the warmup boundary
+                    n_cands += finish_window(wi, out)
                     t_warm = _time.monotonic()
                     for k in phase_s:
                         phase_s[k] = 0.0
+                    if wi == args.abort_after_window:
+                        aborted = True
+                        break
                 else:
                     if pending is not None:
                         n_cands += finish_window(*pending)
+                        n_timed += 1
+                        if pending[0] == args.abort_after_window:
+                            # drain the in-flight dispatch so both
+                            # processes' collectives complete before exit
+                            fetch_span(out)
+                            aborted = True
+                            break
                     pending = (wi, out)
-            if pending is not None:
+            if not aborted and pending is not None:
                 n_cands += finish_window(*pending)
-            if args.timing and t_warm is not None and n_win > 1:
-                import json as _json
-
+                n_timed += 1
+            if args.timing and t_warm is not None and n_timed:
                 print("STATS " + _json.dumps({
                     "pid": args.process_id,
                     "timed_s": _time.monotonic() - t_warm,
-                    "timed_windows": n_win - 1,
+                    "timed_windows": n_timed,
                     "global_samples_per_window": core_p * p_in,
                     "phase_s": {k: round(v, 3)
                                 for k, v in phase_s.items()},
