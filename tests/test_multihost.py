@@ -153,6 +153,51 @@ def test_worker_json_output_surface(tmp_path):
     assert not any("FRAME " in out for out in outs)
 
 
+def test_worker_netjson_udp_alongside_frames(tmp_path):
+    """--netjson on the worker sends each owned frame's JSON record over
+    UDP (out.c -j semantics) while stdout keeps the machine-readable
+    FRAME lines (default --output frames)."""
+    import json
+    import socket
+
+    from vdlm2dec_tpu import framegen as fg
+    from vdlm2dec_tpu import modulator as mod2
+    from vdlm2dec_tpu.io.sdr import write_capture
+
+    rng = np.random.default_rng(29)
+    fs = 2_000_000
+    t_raw = 250 * 2000
+    total_dec = t_raw * 84 // 2000
+    c = fg.acars_frame(text="MHUDP", label="Q0")
+    sig = mod2.synthesize_baseband(mod2.make_burst([c]), start=4000,
+                                   total=total_dec)
+    wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 30
+    wide += rng.normal(size=t_raw) + 1j * rng.normal(size=t_raw)
+    cap = str(tmp_path / "mh_udp.cu8")
+    write_capture(cap, wide, "cu8")
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(60)
+    port = rx.getsockname()[1]
+
+    outs = launch_local(
+        2,
+        ["--iq", cap, "--fc", "136900000", "136.975",
+         "--time-shards", "8", "--max-symbols", "512",
+         "--max-candidates", "4",
+         "--netjson", f"127.0.0.1:{port}", "--station", "MH"],
+        local_devices=4,
+    )
+    frames, _ = _frames(outs)
+    assert len(frames) == 1            # FRAME lines still on stdout
+    data, _ = rx.recvfrom(65536)
+    rx.close()
+    obj = json.loads(data.decode())
+    assert obj["text"] == "MHUDP"
+    assert obj["station_id"] == "MH"
+
+
 def test_worker_checkpoint_resume_exactly_once(tmp_path):
     """Abort a 2-process windowed decode after window 1 (per-host
     checkpoints written), relaunch with the same checkpoint: the union of

@@ -174,6 +174,12 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--station", default="", help="station id for json")
     ap.add_argument("--start-time", type=float, default=None,
                     help="capture start unix time (json/text timestamps)")
+    ap.add_argument("--netjson", default=None, metavar="ADDR[:PORT]",
+                    help="also send each JSON record via UDP (out.c -j)")
+    ap.add_argument("--netsbs", default=None, metavar="ADDR[:PORT]",
+                    help="also send SBS position lines via TCP (out.c -s)")
+    ap.add_argument("--label-filter", default=None,
+                    help="comma list of ACARS labels to keep (main.c -b)")
     args = ap.parse_args(argv)
 
     import jax
@@ -204,7 +210,7 @@ def _worker_main(argv=None) -> int:
     prev_end: dict[int, int] = {}
 
     fdec = None
-    if args.output != "frames":
+    if args.output != "frames" or args.netjson or args.netsbs:
         # full single-host output surface, one decoded stream per host.
         # Frame ownership is per-shard (the trigger's shard), so streams
         # never overlap and merging = concatenating.  Flight-tracker
@@ -217,10 +223,13 @@ def _worker_main(argv=None) -> int:
 
         fdec = FrameDecoder(
             OutputConfig(
-                verbose=0 if args.output == "json" else 2,
+                verbose=2 if args.output == "text" else 0,
                 jsonout=args.output == "json",
                 station_id=args.station,
+                net_json_addr=args.netjson,
+                net_sbs_addr=args.netsbs,
             ),
+            label_filter=args.label_filter,
             time_base=args.start_time,
         )
 
@@ -228,7 +237,7 @@ def _worker_main(argv=None) -> int:
         for b in pipe._finish(cands, t_offset=t_off, prev_end=prev_end):
             if fdec is not None:
                 fdec.process_burst(b)
-            else:
+            if args.output == "frames":
                 for fr in b.frames:
                     print(f"FRAME {b.channel} {b.t0} {bytes(fr).hex()}",
                           flush=True)
