@@ -208,16 +208,19 @@ def test_worker_checkpoint_resume_exactly_once(tmp_path):
     from vdlm2dec_tpu import modulator as mod2
     from vdlm2dec_tpu.io.sdr import write_capture
 
+    from vdlm2dec_tpu import framegen as fg
+
     rng = np.random.default_rng(41)
     fs = 2_000_000
     n_win = 5
     t_raw = n_win * 250 * 2000
     total_dec = t_raw * 84 // 2000
     sig = np.zeros(total_dec, dtype=np.complex128)
-    # one burst per window, including one just before the window-2/3 seam
-    for st, nb in ((3000, 30), (25_000, 40), (46_500, 25),
-                   (62_700, 35), (88_000, 28)):
-        c = rng.integers(0, 256, nb).astype(np.uint8)
+    # one ACARS burst per window (valid app payloads so the decoded-output
+    # resume check below gets JSON records), incl. one just before the
+    # window-2/3 seam
+    for st in (3000, 25_000, 46_500, 62_700, 88_000):
+        c = fg.acars_frame(text=f"CKPT{st}", label="Q0")
         sig += mod2.synthesize_baseband(mod2.make_burst([c]), start=st,
                                         total=total_dec)
     wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 30
@@ -257,6 +260,28 @@ def test_worker_checkpoint_resume_exactly_once(tmp_path):
     part3 = frame_counts(launch_local(
         2, base + ["--checkpoint", ckpt], local_devices=4))
     assert not part3
+
+    # the decoded-output surface resumes identically too (checkpoint
+    # carries the flight-tracker state, deterministic --start-time)
+    jbase = base + ["--output", "json", "--start-time", "1e9"]
+
+    def json_counts(outs):
+        cnt = Counter()
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith("{"):
+                    cnt[line] += 1
+        return cnt
+
+    jref = json_counts(launch_local(2, jbase, local_devices=4))
+    assert jref
+    ckpt_j = str(tmp_path / "ckpt_json")
+    j1 = json_counts(launch_local(
+        2, jbase + ["--checkpoint", ckpt_j, "--abort-after-window", "1"],
+        local_devices=4))
+    j2 = json_counts(launch_local(
+        2, jbase + ["--checkpoint", ckpt_j], local_devices=4))
+    assert j1 + j2 == jref
 
 
 def test_worker_formats_cs16_and_f32real(tmp_path):

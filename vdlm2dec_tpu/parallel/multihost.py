@@ -156,12 +156,15 @@ def _worker_main(argv=None) -> int:
                          "post-warmup wall time and global samples covered "
                          "(window 0 = compile+warmup, excluded)")
     ap.add_argument("--checkpoint", default=None,
-                    help="windowed mode: per-host resume state is kept in "
-                         "<path>.p<process_id>; on restart every host "
+                    help="windowed mode: per-host resume state (cursor, "
+                         "burst-span suppression, flight tracker) is kept "
+                         "in <path>.p<process_id>; on restart every host "
                          "resumes at the earliest unfinished window across "
                          "hosts (the collective sequence must realign) and "
-                         "skips re-emitting windows it already emitted — "
-                         "exactly-once output per host")
+                         "skips re-emitting windows it already emitted.  "
+                         "Exactly-once output under a clean stop; a hard "
+                         "kill between emit and checkpoint re-emits at "
+                         "most one window on restart")
     ap.add_argument("--abort-after-window", type=int, default=-1,
                     help="test hook: exit cleanly right after this "
                          "window's result is emitted and checkpointed")
@@ -209,8 +212,21 @@ def _worker_main(argv=None) -> int:
 
     prev_end: dict[int, int] = {}
 
+    # fail fast on flag combinations that would be silently inert
+    if args.checkpoint and not args.block_seconds:
+        ap.error("--checkpoint requires --block-seconds (windowed mode)")
+    if args.abort_after_window >= 0 and not args.block_seconds:
+        ap.error("--abort-after-window requires --block-seconds")
+    fdec_active = (args.output != "frames" or args.netjson or args.netsbs)
+    if args.label_filter and not fdec_active:
+        ap.error("--label-filter needs --output json|text or a net sink "
+                 "(FRAME lines are unfiltered by design)")
+    if (args.station or args.start_time is not None) and not fdec_active:
+        print("warning: --station/--start-time have no effect on "
+              "--output frames without a net sink", file=sys.stderr)
+
     fdec = None
-    if args.output != "frames" or args.netjson or args.netsbs:
+    if fdec_active:
         # full single-host output surface, one decoded stream per host.
         # Frame ownership is per-shard (the trigger's shard), so streams
         # never overlap and merging = concatenating.  Flight-tracker
@@ -339,16 +355,32 @@ def _worker_main(argv=None) -> int:
             # sequence, so the shared resume point is the allgather-min of
             # per-host cursors; a host ahead of it re-decodes those
             # windows (fetch keeps the collectives aligned) but skips
-            # re-emitting them — exactly-once output per host.
+            # re-emitting them.  Output is exactly-once per host under a
+            # clean stop (SIGTERM drain, --abort-after-window); a hard
+            # kill between emit and the checkpoint rename re-emits AT MOST
+            # the one in-flight window on restart (at-least-once) — the
+            # same contract as any emit-then-ack stream.
             ckpt_path = (f"{args.checkpoint}.p{args.process_id}"
                          if args.checkpoint else None)
+            geom = {"core_p": core_p, "n_win": n_win,
+                    "num_processes": args.num_processes,
+                    "capture_samples": len(reader), "fs": args.fs}
             my_done = -1
             if ckpt_path and os.path.exists(ckpt_path):
-                with open(ckpt_path) as fh:
-                    st = _json.load(fh)
-                my_done = int(st["done_through"])
+                from ..host.checkpoint import load_checkpoint
+                from ..host.flights import FlightTracker
+
+                tracker = fdec.flights if fdec is not None else FlightTracker()
+                my_done, extra = load_checkpoint(ckpt_path, tracker)
+                if extra.get("geom") != geom:
+                    raise SystemExit(
+                        f"checkpoint {ckpt_path} was written with a "
+                        f"different job geometry ({extra.get('geom')} vs "
+                        f"{geom}); resuming would lose or duplicate "
+                        "frames — use the original flags or remove the "
+                        "checkpoint")
                 prev_end.update({int(k): int(v)
-                                 for k, v in st["prev_end"].items()})
+                                 for k, v in extra["prev_end"].items()})
             if args.num_processes > 1:
                 from jax.experimental import multihost_utils
 
@@ -358,31 +390,44 @@ def _worker_main(argv=None) -> int:
             else:
                 resume_w = my_done + 1
 
+            n_timed = 0              # emitted windows after warmup
+
             def finish_window(wi: int, out) -> int:
+                nonlocal n_timed
                 cands = [cd for cd in fetch_span(out)
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
                 if wi <= my_done:
                     # replayed for collective alignment only: this host
                     # already emitted it (prev_end from the checkpoint
-                    # carries its burst-span suppression)
+                    # carries its burst-span suppression, and the flight
+                    # tracker state was restored from the checkpoint)
                     return 0
                 tf0 = _time.monotonic()
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
                 phase_s["finish"] += _time.monotonic() - tf0
+                if wi != resume_w:
+                    n_timed += 1
                 if ckpt_path:
-                    tmp = ckpt_path + ".tmp"
-                    with open(tmp, "w") as fh:
-                        _json.dump({"done_through": wi,
-                                    "prev_end": {str(k): int(v)
-                                                 for k, v in
-                                                 prev_end.items()}}, fh)
-                    os.replace(tmp, ckpt_path)
+                    from ..host.checkpoint import save_checkpoint
+                    from ..host.flights import FlightTracker
+
+                    save_checkpoint(
+                        ckpt_path, wi,
+                        fdec.flights if fdec is not None else FlightTracker(),
+                        extra={"geom": geom,
+                               "prev_end": {str(k): int(v)
+                                            for k, v in prev_end.items()}})
                 return len(cands)
 
-            aborted = False
-            n_timed = 0              # windows finished after warmup
+            # --abort-after-window N clamps the window range: window N is
+            # finished by the tail flush below and nothing further is
+            # dispatched, so all processes exit with no collective in
+            # flight
+            stop_w = n_win
+            if 0 <= args.abort_after_window < n_win:
+                stop_w = args.abort_after_window + 1
             pending = None           # (wi, in-flight dispatch)
-            for wi in range(resume_w, n_win):
+            for wi in range(resume_w, stop_w):
                 out = dispatch_span(wi * core_p - lmarg_p, total_p)
                 if wi == resume_w:
                     # the first (resumed) window carries the compile and
@@ -392,23 +437,12 @@ def _worker_main(argv=None) -> int:
                     t_warm = _time.monotonic()
                     for k in phase_s:
                         phase_s[k] = 0.0
-                    if wi == args.abort_after_window:
-                        aborted = True
-                        break
                 else:
                     if pending is not None:
                         n_cands += finish_window(*pending)
-                        n_timed += 1
-                        if pending[0] == args.abort_after_window:
-                            # drain the in-flight dispatch so both
-                            # processes' collectives complete before exit
-                            fetch_span(out)
-                            aborted = True
-                            break
                     pending = (wi, out)
-            if not aborted and pending is not None:
+            if pending is not None:
                 n_cands += finish_window(*pending)
-                n_timed += 1
             if args.timing and t_warm is not None and n_timed:
                 print("STATS " + _json.dumps({
                     "pid": args.process_id,
