@@ -126,6 +126,34 @@ def test_triggers_match_golden():
     assert np.asarray(df)[0, 0] == pytest.approx(gb.freq_offset, abs=1e-5)
 
 
+def test_find_triggers_chunked_topk_parity(monkeypatch):
+    """Past _TOPK_CHUNK_ELEMS the earliest-K selection merges per-chunk
+    top-k winners (the whole-stream TopK overflows the TPU's scoped VMEM
+    near (73, 350k) operands); the chunked path must pick the identical
+    triggers, including chunk-boundary and padded-tail positions."""
+    from vdlm2dec_tpu.ops import demod as demod_mod
+
+    rng = np.random.default_rng(11)
+    c, t = 3, 4000
+    err = rng.normal(size=(c, t)).astype(np.float32) + 10.0   # no triggers
+    fr = rng.normal(size=(c, t)).astype(np.float32) * 1e-3
+    # plant dips that fire the hysteresis trigger at known odd positions,
+    # incl. ones adjacent to the 512-sample chunk seams and in the tail
+    spots = [(0, 201), (0, 511), (0, 513), (1, 1023), (1, 1025),
+             (2, 3901), (2, 3999), (0, 2047), (1, 2049)]
+    for ci, tp in spots:
+        err[ci, tp - 2] = 0.0          # e1 < threshold
+        err[ci, tp] = 5.0              # e0 > e1
+
+    ref = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
+    monkeypatch.setattr(demod_mod, "_TOPK_CHUNK_ELEMS", c * 512)
+    chunked = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
+    for a, b in zip(ref, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: the planted triggers actually fired
+    assert np.asarray(ref[3]).any()
+
+
 # ---------------------------------------------------------------------------
 # full device demod vs golden block
 # ---------------------------------------------------------------------------

@@ -41,6 +41,15 @@ def main() -> int:
     ap.add_argument("--start", type=float, default=None, help="MHz")
     ap.add_argument("--stop", type=float, default=None, help="MHz")
     ap.add_argument("--max-rows", type=int, default=4)
+    ap.add_argument("--block-seconds", type=float, default=1.0,
+                    help="stream the capture in blocks of this length "
+                         "(whole-span scans at 4 s blocks exceed one "
+                         "chip's HBM; 1 s is the bench-proven shape)")
+    ap.add_argument("--chan-impl", default=None,
+                    choices=("matmul", "dft", "pfb"),
+                    help="channelizer (default: residue-space dft — ~2x "
+                         "the dense matmul at whole-span channel counts — "
+                         "when fc sits on the 25 kHz raster, else matmul)")
     args = ap.parse_args()
 
     guard = 2 * STEPRATE
@@ -56,15 +65,22 @@ def main() -> int:
     print(f"# scanning {len(freqs)} channels "
           f"{freqs[0] / 1e6:.3f}..{freqs[-1] / 1e6:.3f} MHz", file=sys.stderr)
 
+    chan_impl = args.chan_impl
+    if chan_impl is None:
+        # the residue-space channelizer needs raster-aligned offsets
+        # (what chooseFc produces); fall back for off-raster fc
+        on_raster = all((f - args.fc) % STEPRATE == 0 for f in freqs)
+        chan_impl = "dft" if on_raster else "matmul"
     cfg = PipelineConfig(
         freqs_hz=freqs, fs=args.fs, fc_hz=args.fc,
         max_symbols=args.max_rows * 680 + 16, max_candidates=16,
+        chan_impl=chan_impl,
     )
     pipe = Pipeline(cfg)
     x = read_capture(args.iq, args.format)
 
     counts: dict[float, int] = {f: 0 for f in freqs}
-    for bursts in pipe.stream_wideband(x):
+    for bursts in pipe.stream_wideband(x, block_seconds=args.block_seconds):
         for b in bursts:
             if b.frames:
                 counts[b.freq_hz] += len(b.frames)

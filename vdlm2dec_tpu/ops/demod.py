@@ -132,6 +132,10 @@ def _sync_scan_core(pad: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]
 # memory — and the remote compiler's appetite — stays bounded
 _SYNC_DENSE_LIMIT = 8_000_000
 _SYNC_CHUNK = 8192
+# TopK scoped-VMEM scratch grows with the time extent (~60 B/element on
+# this backend); past this many (C*T) elements find_triggers merges
+# per-time-chunk top-k winners instead of one whole-stream call
+_TOPK_CHUNK_ELEMS = 8_000_000
 
 
 def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -197,6 +201,17 @@ def find_triggers(
     # earliest K trigger indices: top_k on negated positions (a full sort
     # of the (C, T) stream costs tens of ms at block scale)
     neg = jnp.where(trig, -tt[None, :], -(t + 1))
+    if c * t > _TOPK_CHUNK_ELEMS:
+        # the TopK custom-call's scoped-VMEM scratch scales with the time
+        # extent and overflows the 16 MB limit past ~(73, 350k) operands;
+        # per-time-chunk top-k then a merge over the (C, chunks*K) winners
+        # is exact (the global earliest K survive their own chunk)
+        s = max(-(-_TOPK_CHUNK_ELEMS // c), max_candidates)
+        n_chunks = -(-t // s)
+        neg = jnp.pad(neg, ((0, 0), (0, n_chunks * s - t)),
+                      constant_values=-(t + 1))
+        part, _ = jax.lax.top_k(neg.reshape(c, n_chunks, s), max_candidates)
+        neg = part.reshape(c, n_chunks * max_candidates)
     topv, _ = jax.lax.top_k(neg, max_candidates)
     t0 = -topv            # descending neg -> ascending positions
     valid = t0 <= t
