@@ -127,10 +127,11 @@ def test_triggers_match_golden():
 
 
 def test_find_triggers_chunked_topk_parity(monkeypatch):
-    """Past _TOPK_CHUNK_ELEMS the earliest-K selection merges per-chunk
-    top-k winners (the whole-stream TopK overflows the TPU's scoped VMEM
-    near (73, 350k) operands); the chunked path must pick the identical
-    triggers, including chunk-boundary and padded-tail positions."""
+    """Past _TOPK_CHUNK_T time samples the earliest-K selection merges
+    per-chunk top-k winners (the whole-stream TopK's scoped-VMEM scratch
+    scales with T and overflows the TPU's 16 MB limit near T=350k at any
+    batch); the chunked path must pick the identical triggers, including
+    chunk-boundary and padded-tail positions."""
     from vdlm2dec_tpu.ops import demod as demod_mod
 
     rng = np.random.default_rng(11)
@@ -146,7 +147,7 @@ def test_find_triggers_chunked_topk_parity(monkeypatch):
         err[ci, tp] = 5.0              # e0 > e1
 
     ref = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
-    monkeypatch.setattr(demod_mod, "_TOPK_CHUNK_ELEMS", c * 512)
+    monkeypatch.setattr(demod_mod, "_TOPK_CHUNK_T", 512)
     chunked = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
     for a, b in zip(ref, chunked):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

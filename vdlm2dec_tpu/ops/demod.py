@@ -132,10 +132,12 @@ def _sync_scan_core(pad: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]
 # memory — and the remote compiler's appetite — stays bounded
 _SYNC_DENSE_LIMIT = 8_000_000
 _SYNC_CHUNK = 8192
-# TopK scoped-VMEM scratch grows with the time extent (~60 B/element on
-# this backend); past this many (C*T) elements find_triggers merges
-# per-time-chunk top-k winners instead of one whole-stream call
-_TOPK_CHUNK_ELEMS = 8_000_000
+# The TopK custom-call's scoped-VMEM scratch grows with the TIME extent
+# alone (~60 B/sample regardless of batch: measured overflows at
+# (73, 358k) AND (8, 380k) against the 16 MB limit); past this many time
+# samples find_triggers merges per-time-chunk top-k winners instead of
+# one whole-stream call (scratch at 131072 ≈ 7.9 MB)
+_TOPK_CHUNK_T = 131_072
 
 
 def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -201,12 +203,10 @@ def find_triggers(
     # earliest K trigger indices: top_k on negated positions (a full sort
     # of the (C, T) stream costs tens of ms at block scale)
     neg = jnp.where(trig, -tt[None, :], -(t + 1))
-    if c * t > _TOPK_CHUNK_ELEMS:
-        # the TopK custom-call's scoped-VMEM scratch scales with the time
-        # extent and overflows the 16 MB limit past ~(73, 350k) operands;
+    if t > _TOPK_CHUNK_T:
         # per-time-chunk top-k then a merge over the (C, chunks*K) winners
         # is exact (the global earliest K survive their own chunk)
-        s = max(-(-_TOPK_CHUNK_ELEMS // c), max_candidates)
+        s = max(_TOPK_CHUNK_T, max_candidates)
         n_chunks = -(-t // s)
         neg = jnp.pad(neg, ((0, 0), (0, n_chunks * s - t)),
                       constant_values=-(t + 1))
