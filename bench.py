@@ -438,6 +438,11 @@ def main():
                     help="add the whole-VDL-band config: 760 channels at "
                          "25 kHz across 118.5-137.5 MHz from a 20 Msps "
                          "capture in ONE device program")
+    ap.add_argument("--kchan", action="store_true",
+                    help="add the thousands-of-channels config: 2000 "
+                         "channels from a synthetic 100 Msps capture in "
+                         "ONE device program (BASELINE's 8->thousands "
+                         "sweep endpoint; ~7 min compile)")
     ap.add_argument("--analysis", action="store_true",
                     help="per-stage device timings + roofline proxies "
                          "(several extra compiles)")
@@ -527,6 +532,22 @@ def main():
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)
             extra["scale_band_760ch"] = {"error": str(e)}
+    if args.kchan and time.perf_counter() - t_start < args.budget_s:
+        try:
+            # 2000 channels x 25 kHz = a 50 MHz plan inside a synthetic
+            # 100 Msps capture (physical VDL tops out at 760 channels;
+            # this is the channel-count scaling endpoint, not a real
+            # band).  Measured 2026-08-19: recall 4/4, 16.0-19.1 Msps =
+            # 319-382 channel-realtime equivalents, one device program.
+            extra["scale_2000ch"] = run_config(
+                2000, 0.25, 2, 512, args.max_candidates,
+                False, spacing=25_000, active_every=200,
+                fs=100_000_000, base=1_118_500_000, chan_impl="pfb",
+                compute=args.compute, sync_impl="fused",
+            )
+        except Exception as e:
+            print(f"# 2000ch config failed: {e}", file=sys.stderr)
+            extra["scale_2000ch"] = {"error": str(e)}
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(
