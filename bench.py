@@ -401,6 +401,57 @@ def run_analysis(seconds: float, iters: int, max_symbols: int,
     return ana
 
 
+def run_latency(block_seconds: float, seconds: float = 8.0,
+                channels: int = 8, max_symbols: int = 512) -> dict:
+    """Serving latency: steady-state per-block turnaround (dispatch of a
+    raw block -> its candidates on the host) through the production
+    pipelined streaming path.  End-to-end burst latency on a live SDR
+    feed is bounded by one block period (buffering) + this turnaround."""
+    import jax  # noqa: F401  (device init before timing)
+
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+    wide, freqs, fc, _truth = make_capture(2_000_000, channels, seconds,
+                                           spacing=25_000, active_every=5)
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs], fs=2_000_000, fc_hz=float(fc),
+        max_symbols=max_symbols, max_candidates=8,
+    )
+    pipe = Pipeline(cfg)
+    core = pipe.core_raw_samples(block_seconds)
+    raw = to_u8(wide)
+    n_blocks = len(wide) // core
+    from vdlm2dec_tpu.pipeline import PipelinedDecoder
+
+    pd = PipelinedDecoder(pipe)
+    lat: list[float] = []
+    t_sub: dict[int, float] = {}
+    try:
+        seen = 0
+        for i in range(n_blocks):
+            t_sub[i] = time.perf_counter()
+            for _res in pd.submit(raw[2 * i * core: 2 * (i + 1) * core]):
+                lat.append(time.perf_counter() - t_sub[seen])
+                seen += 1
+        for _res in pd.drain():
+            lat.append(time.perf_counter() - t_sub[seen])
+            seen += 1
+    finally:
+        pd.close()
+    lat = sorted(lat[1:])                    # drop the compile block
+    if not lat:
+        return {"error": "capture too short for latency mode"}
+    pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]  # noqa: E731
+    out = {"block_seconds": block_seconds, "blocks": len(lat),
+           "p50_ms": round(pct(0.50) * 1e3, 1),
+           "p95_ms": round(pct(0.95) * 1e3, 1),
+           "max_ms": round(lat[-1] * 1e3, 1)}
+    print(f"# latency @{block_seconds}s blocks: p50 {out['p50_ms']} ms, "
+          f"p95 {out['p95_ms']} ms, max {out['max_ms']} ms "
+          f"({len(lat)} blocks)", file=sys.stderr)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
@@ -443,6 +494,9 @@ def main():
                          "channels from a synthetic 100 Msps capture in "
                          "ONE device program (BASELINE's 8->thousands "
                          "sweep endpoint; ~7 min compile)")
+    ap.add_argument("--latency", action="store_true",
+                    help="add steady-state per-block turnaround latency "
+                         "(p50/p95) at 0.25/0.5/1 s streaming blocks")
     ap.add_argument("--analysis", action="store_true",
                     help="per-stage device timings + roofline proxies "
                          "(several extra compiles)")
@@ -548,6 +602,12 @@ def main():
         except Exception as e:
             print(f"# 2000ch config failed: {e}", file=sys.stderr)
             extra["scale_2000ch"] = {"error": str(e)}
+    if args.latency:
+        try:
+            extra["latency"] = [run_latency(bs)
+                                for bs in (0.25, 0.5, 1.0)]
+        except Exception as e:
+            print(f"# latency mode failed: {e}", file=sys.stderr)
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(
