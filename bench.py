@@ -193,10 +193,15 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
     # images) or spurious (content matching nothing synthesized)
     from collections import Counter
 
-    # only bursts fully inside the decoded span count (the Pallas path
-    # truncates t to 32-period alignment, dropping up to 0.03 s of tail)
+    # only bursts fully inside the decoded span count toward recall (the
+    # Pallas path truncates t to 32-period alignment, dropping up to
+    # 0.03 s of tail); a truncated-tail burst can STILL decode when RS
+    # corrects the missing samples — those count as "edge", not spurious
+    # (observed: chan-4 burst at p0=17728 vs span 18816, rs_count 3,
+    # content byte-identical to truth)
     span84 = t // pipe.channelizer.p_in * pipe.channelizer.p_out
     in_span = [(c, cb) for c, cb, p0, pl in truth if p0 + pl <= span84]
+    out_span_keys = {(c, cb) for c, cb, p0, pl in truth if p0 + pl > span84}
     n_bursts = len(in_span)
     want = Counter(in_span)
     got = Counter()
@@ -207,14 +212,19 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
     missed = n_bursts - matched
     duplicates = sum(max(got[k] - want[k], 0) for k in got if k in want)
     contents = {c for _ch, c in want}
+    edge = sum(n for k, n in got.items()
+               if k not in want and k in out_span_keys)
     leakage = sum(n for k, n in got.items()
-                  if k not in want and k[1] in contents)
+                  if k not in want and k not in out_span_keys
+                  and k[1] in contents)
     spurious = sum(n for k, n in got.items()
-                   if k not in want and k[1] not in contents)
+                   if k not in want and k not in out_span_keys
+                   and k[1] not in contents)
     print(
         f"# [{channels}ch] recall {matched}/{n_bursts} "
         f"(missed {missed}, duplicates {duplicates}, leakage {leakage}, "
-        f"spurious {spurious}; {n_frames} frames, {n_cands} candidates)",
+        f"spurious {spurious}, edge {edge}; {n_frames} frames, "
+        f"{n_cands} candidates)",
         file=sys.stderr,
     )
     if missed:
@@ -268,7 +278,7 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
             "channel_realtime_equivalents": round(chan_rt, 0),
             "frames": n_frames, "bursts": n_bursts,
             "recall": f"{matched}/{n_bursts}", "duplicates": duplicates,
-            "leakage": leakage, "spurious": spurious}
+            "leakage": leakage, "spurious": spurious, "edge": edge}
 
 
 def run_analysis(seconds: float, iters: int, max_symbols: int,
