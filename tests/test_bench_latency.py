@@ -1,0 +1,18 @@
+"""bench --latency path: the per-block turnaround harness must keep
+working on the production pipelined streaming path (CPU smoke; the real
+numbers are TPU-measured, PERF.md)."""
+import sys
+
+import bench
+
+
+def test_run_latency_smoke():
+    out = bench.run_latency(0.25, seconds=2.0, channels=2)
+    assert "error" not in out
+    assert out["blocks"] >= 3
+    assert out["p50_ms"] > 0
+    assert out["p95_ms"] >= out["p50_ms"]
+    assert out["max_ms"] >= out["p95_ms"]
+    # percentile helper stays inside bounds on tiny samples
+    assert out["max_ms"] < 60_000
+    sys.stderr.flush()

@@ -152,6 +152,18 @@ def test_worker_json_output_surface(tmp_path):
     # no raw FRAME lines in decoded-output mode
     assert not any("FRAME " in out for out in outs)
 
+    # text mode renders the reference-format block on the owning host
+    outs = launch_local(
+        2,
+        ["--iq", cap, "--fc", "136900000", "136.975",
+         "--time-shards", "8", "--max-symbols", "512",
+         "--max-candidates", "4", "--output", "text"],
+        local_devices=4,
+    )
+    joined = "\n".join(outs)
+    assert "ACARS" in joined and "MHJSON" in joined
+    assert "Message :" in joined
+
 
 def test_worker_netjson_udp_alongside_frames(tmp_path):
     """--netjson on the worker sends each owned frame's JSON record over
