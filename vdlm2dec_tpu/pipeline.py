@@ -319,7 +319,10 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
         x_i = x[1::2].reshape(b, p_in)
     yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
                                  compute=compute)
-    y = jnp.stack([yr, yi], axis=-1)
+    # fence the residue-space gather out of the sync-scan fusion: without
+    # it the remote compiler takes 10-29 min on full-burst-window shapes
+    # (max_symbols 5456, T~380k) where the matmul channelizer takes ~5
+    y = jax.lax.optimization_barrier(jnp.stack([yr, yi], axis=-1))
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
                                  core_start=core_start, core_len=core_len,
                                  compute=compute, sync_impl=sync_impl)
@@ -357,7 +360,8 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
         x_i = x[1::2].reshape(nb, p_in)
     yr, yi = _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw,
                                  dfb, bins, a, b, compute=compute)
-    y = jnp.stack([yr, yi], axis=-1)
+    # same compile-time fence as the dft wrapper (see there)
+    y = jax.lax.optimization_barrier(jnp.stack([yr, yi], axis=-1))
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
                                  core_start=core_start, core_len=core_len,
                                  compute=compute, sync_impl=sync_impl)
