@@ -431,7 +431,13 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
     core = pipe.core_raw_samples(block_seconds)
     raw = to_u8(wide)
     n_blocks = len(wide) // core
-    from vdlm2dec_tpu.pipeline import PipelinedDecoder
+    from vdlm2dec_tpu.pipeline import PipelinedDecoder, _dispatch_fused
+
+    # warm the compile BEFORE timing: the lazy backend runs the first
+    # block's multi-minute compile inside the fetch worker, and with the
+    # pipeline queue (depth 2) blocks 1-3 are submitted during it — their
+    # turnaround would report the compile, not steady state
+    np.asarray(_dispatch_fused(pipe, raw[: 2 * core], "cu8", 0, 0))
 
     pd = PipelinedDecoder(pipe)
     lat: list[float] = []
@@ -612,12 +618,15 @@ def main():
         except Exception as e:
             print(f"# 2000ch config failed: {e}", file=sys.stderr)
             extra["scale_2000ch"] = {"error": str(e)}
-    if args.latency:
+    if args.latency and time.perf_counter() - t_start > args.budget_s:
+        print("# budget exceeded, skipping latency mode", file=sys.stderr)
+    elif args.latency:
         try:
             extra["latency"] = [run_latency(bs)
                                 for bs in (0.25, 0.5, 1.0)]
         except Exception as e:
             print(f"# latency mode failed: {e}", file=sys.stderr)
+            extra["latency"] = {"error": str(e)}
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(

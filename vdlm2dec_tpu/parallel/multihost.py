@@ -185,6 +185,30 @@ def _worker_main(argv=None) -> int:
                     help="comma list of ACARS labels to keep (main.c -b)")
     args = ap.parse_args(argv)
 
+    # clean-stop drain: SIGTERM/SIGQUIT (sent to ALL workers by the job
+    # manager) sets a flag honored at window boundaries — the in-flight
+    # window (which every process has already dispatched, by the loop
+    # structure) is fetched, emitted, and checkpointed before exit, so a
+    # restart resumes exactly-once.  A worker stopped alone leaves its
+    # peers to fail on their next collective; their checkpoints are
+    # still consistent (written post-emit).
+    stop_requested = False
+
+    def _request_stop(signum, frame):
+        nonlocal stop_requested
+        stop_requested = True
+
+    import signal as _signal
+    import threading as _threading
+
+    if _threading.current_thread() is _threading.main_thread():
+        for _sig in (_signal.SIGTERM, getattr(_signal, "SIGQUIT", None)):
+            if _sig is not None:
+                try:
+                    _signal.signal(_sig, _request_stop)
+                except (ValueError, OSError):
+                    pass
+
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -362,9 +386,18 @@ def _worker_main(argv=None) -> int:
             # same contract as any emit-then-ack stream.
             ckpt_path = (f"{args.checkpoint}.p{args.process_id}"
                          if args.checkpoint else None)
+            # the guard must pin EVERYTHING that changes window content or
+            # channel-index meaning: prev_end keys are channel indices and
+            # FRAME lines carry them, so a reordered/changed frequency
+            # plan (or fc/format/impl/window size) would silently corrupt
+            # a resume that only checked the window geometry
             geom = {"core_p": core_p, "n_win": n_win,
                     "num_processes": args.num_processes,
-                    "capture_samples": len(reader), "fs": args.fs}
+                    "capture_samples": len(reader), "fs": args.fs,
+                    "freqs_hz": [float(f) for f in freqs_hz],
+                    "fc": float(fc), "format": args.format,
+                    "chan_impl": args.chan_impl,
+                    "max_symbols": args.max_symbols}
             my_done = -1
             if ckpt_path and os.path.exists(ckpt_path):
                 from ..host.checkpoint import load_checkpoint
@@ -390,12 +423,18 @@ def _worker_main(argv=None) -> int:
             else:
                 resume_w = my_done + 1
 
-            n_timed = 0              # emitted windows after warmup
+            n_timed = 0              # windows finished after warmup
 
             def finish_window(wi: int, out) -> int:
                 nonlocal n_timed
                 cands = [cd for cd in fetch_span(out)
                          if lmarg_dec <= cd["t0"] < lmarg_dec + core_dec]
+                # replayed windows (wi <= my_done) still count as timed:
+                # their samples were fetched and decoded, only emit is
+                # skipped — excluding them would overstate a resumed
+                # run's per-window throughput in STATS
+                if wi != resume_w:
+                    n_timed += 1
                 if wi <= my_done:
                     # replayed for collective alignment only: this host
                     # already emitted it (prev_end from the checkpoint
@@ -405,8 +444,6 @@ def _worker_main(argv=None) -> int:
                 tf0 = _time.monotonic()
                 emit(pipe, cands, wi * core_dec - lmarg_dec)
                 phase_s["finish"] += _time.monotonic() - tf0
-                if wi != resume_w:
-                    n_timed += 1
                 if ckpt_path:
                     from ..host.checkpoint import save_checkpoint
                     from ..host.flights import FlightTracker
@@ -428,6 +465,11 @@ def _worker_main(argv=None) -> int:
                 stop_w = args.abort_after_window + 1
             pending = None           # (wi, in-flight dispatch)
             for wi in range(resume_w, stop_w):
+                if stop_requested:
+                    # SIGTERM drain: stop dispatching; the tail flush
+                    # below finishes (fetch+emit+checkpoint) the pending
+                    # window, which every process has already dispatched
+                    break
                 out = dispatch_span(wi * core_p - lmarg_p, total_p)
                 if wi == resume_w:
                     # the first (resumed) window carries the compile and
