@@ -501,10 +501,17 @@ def main():
                     help="whole-band streaming core seconds per dispatch "
                          "(0.5 s compiles on the fused sync path; the xla "
                          "path tops out at 0.2)")
-    ap.add_argument("--band", action="store_true",
+    ap.add_argument("--band", action="store_true", default=True,
                     help="add the whole-VDL-band config: 760 channels at "
                          "25 kHz across 118.5-137.5 MHz from a 20 Msps "
-                         "capture in ONE device program")
+                         "capture in ONE device program (default on; "
+                         "skipped past --band-budget-s)")
+    ap.add_argument("--no-band", dest="band", action="store_false",
+                    help="skip the whole-band config")
+    ap.add_argument("--band-budget-s", type=float, default=900.0,
+                    help="start the whole-band config only if wall time is "
+                         "below this (its remote compile alone can take "
+                         "minutes; the reserve keeps the total run bounded)")
     ap.add_argument("--kchan", action="store_true",
                     help="add the thousands-of-channels config: 2000 "
                          "channels from a synthetic 100 Msps capture in "
@@ -528,6 +535,7 @@ def main():
         # silently lost ~1/6 of bursts before recall was asserted
         args.seconds, args.iters, args.max_symbols = 0.25, 2, 512
         args.scale = False
+        args.band = False
 
     t_start = time.perf_counter()
     primary = run_config(
@@ -575,9 +583,10 @@ def main():
             except Exception as e:          # never lose the primary metric
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
                 extra[f"scale_{ch}ch"] = {"error": str(e)}
-    if args.band and time.perf_counter() - t_start > args.budget_s:
-        print("# budget exceeded, skipping whole-band config",
-              file=sys.stderr)
+    band_cutoff = min(args.budget_s, args.band_budget_s)
+    if args.band and time.perf_counter() - t_start > band_cutoff:
+        print(f"# past band budget ({band_cutoff:.0f}s), skipping "
+              "whole-band config", file=sys.stderr)
     elif args.band:
         try:
             # the residue-space channelizer is the only formulation that
