@@ -518,8 +518,14 @@ def main():
                          "ONE device program (BASELINE's 8->thousands "
                          "sweep endpoint; ~7 min compile)")
     ap.add_argument("--latency", action="store_true",
-                    help="add steady-state per-block turnaround latency "
-                         "(p50/p95) at 0.25/0.5/1 s streaming blocks")
+                    help="measure steady-state per-block turnaround "
+                         "(p50/p95) at ALL of 0.25/0.5/1 s streaming "
+                         "blocks; by default only the 0.25 s serving "
+                         "point runs (~150 s incl. compile)")
+    ap.add_argument("--no-latency", dest="latency_default",
+                    action="store_false",
+                    help="skip the default 0.25 s latency point")
+    ap.set_defaults(latency_default=True)
     ap.add_argument("--analysis", action="store_true",
                     help="per-stage device timings + roofline proxies "
                          "(several extra compiles)")
@@ -536,6 +542,7 @@ def main():
         args.seconds, args.iters, args.max_symbols = 0.25, 2, 512
         args.scale = False
         args.band = False
+        args.latency_default = False
 
     t_start = time.perf_counter()
     primary = run_config(
@@ -627,12 +634,13 @@ def main():
         except Exception as e:
             print(f"# 2000ch config failed: {e}", file=sys.stderr)
             extra["scale_2000ch"] = {"error": str(e)}
-    if args.latency and time.perf_counter() - t_start > args.budget_s:
+    lat_points = ((0.25, 0.5, 1.0) if args.latency
+                  else (0.25,) if args.latency_default else ())
+    if lat_points and time.perf_counter() - t_start > args.budget_s:
         print("# budget exceeded, skipping latency mode", file=sys.stderr)
-    elif args.latency:
+    elif lat_points:
         try:
-            extra["latency"] = [run_latency(bs)
-                                for bs in (0.25, 0.5, 1.0)]
+            extra["latency"] = [run_latency(bs) for bs in lat_points]
         except Exception as e:
             print(f"# latency mode failed: {e}", file=sys.stderr)
             extra["latency"] = {"error": str(e)}
