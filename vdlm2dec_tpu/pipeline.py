@@ -229,6 +229,21 @@ _device_decode_packed_jit = jax.jit(
 )
 
 
+def _raw_to_planes(raw, fmt: str, dc_offset, p_in: int):
+    """Native raw samples -> (x_r, x_i) float32 planes of shape (B, P_in).
+
+    Shared by every fused-ingest wrapper.  cu8 subtracts the rtl_sdr DC
+    offset (rtl.c:274-295); f32real is the airspy half-rate real capture
+    (imag=0 — the fs/4 arrangement is baked into the LO offsets)."""
+    if fmt == "f32real":
+        x_r = raw.astype(jnp.float32).reshape(-1, p_in)
+        return x_r, jnp.zeros_like(x_r)
+    x = raw.astype(jnp.float32)
+    if fmt == "cu8":
+        x = x - dc_offset
+    return x[0::2].reshape(-1, p_in), x[1::2].reshape(-1, p_in)
+
+
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
                         use_pallas: bool = False, fmt: str = "cu8",
@@ -258,15 +273,7 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
         )                                 # (C, B, 84, 2)
         y = y4.reshape(c, -1, 2)
     else:
-        if fmt == "f32real":
-            x_r = raw.astype(jnp.float32).reshape(b, p_in)
-            x_i = jnp.zeros_like(x_r)
-        else:
-            x = raw.astype(jnp.float32)
-            if fmt == "cu8":
-                x = x - dc_offset
-            x_r = x[0::2].reshape(b, p_in)
-            x_i = x[1::2].reshape(b, p_in)
+        x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
         from .ops.channelizer import mm_mode
 
         mr = x_r[None] * lo_r[:, None, :] - x_i[None] * lo_i[:, None, :]
@@ -306,17 +313,7 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
     (C, B, P_in) intermediate — the path that scales to the whole band."""
     from .ops.channelizer import _channelize_dft_jit
 
-    if fmt == "f32real":
-        b = raw.shape[0] // p_in
-        x_r = raw.astype(jnp.float32).reshape(b, p_in)
-        x_i = jnp.zeros_like(x_r)
-    else:
-        x = raw.astype(jnp.float32)
-        if fmt == "cu8":
-            x = x - dc_offset
-        b = x.shape[0] // 2 // p_in
-        x_r = x[0::2].reshape(b, p_in)
-        x_i = x[1::2].reshape(b, p_in)
+    x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
     yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
                                  compute=compute)
     # fence the residue-space gather out of the sync-scan fusion: without
@@ -347,17 +344,7 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
     matmuls + twiddle, O(a+b) per output vs the dft impl's O(C)."""
     from .ops.channelizer import _channelize_pfb_jit
 
-    if fmt == "f32real":
-        nb = raw.shape[0] // p_in
-        x_r = raw.astype(jnp.float32).reshape(nb, p_in)
-        x_i = jnp.zeros_like(x_r)
-    else:
-        x = raw.astype(jnp.float32)
-        if fmt == "cu8":
-            x = x - dc_offset
-        nb = x.shape[0] // 2 // p_in
-        x_r = x[0::2].reshape(nb, p_in)
-        x_i = x[1::2].reshape(nb, p_in)
+    x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
     yr, yi = _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw,
                                  dfb, bins, a, b, compute=compute)
     # same compile-time fence as the dft wrapper (see there)
