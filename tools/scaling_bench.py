@@ -47,18 +47,31 @@ def synth_capture(path: str, fs: int, channels: int, seconds: float):
 
 def run_p(processes: int, capture: str, freqs_mhz: list[float], fc: int,
           block_seconds: float, cores: int, devices_per_proc: int,
-          timeout: float) -> dict:
+          timeout: float, dispatch_depth: int = 2) -> dict:
     from vdlm2dec_tpu.parallel.multihost import launch_local
 
-    per = max(1, cores // processes)
-    cpu_sets = [
-        ",".join(str(c) for c in range(p * per, (p + 1) * per))
-        for p in range(processes)
-    ]
+    if processes <= cores:
+        # honest emulation: P disjoint core sets = P single-host machines
+        per: float = cores // processes
+        cpu_sets = [
+            ",".join(str(c) for c in range(p * int(per), (p + 1) * int(per)))
+            for p in range(processes)
+        ]
+        pinned = True
+    else:
+        # oversubscribed (P > physical cores): processes share the
+        # machine unpinned; cores_per_process is the FRACTIONAL share so
+        # the ideal-throughput normalisation stays whole-machine, and the
+        # point is labelled — it measures rendezvous/skew behaviour at
+        # higher P, not real speedup
+        per = cores / processes
+        cpu_sets = None
+        pinned = False
     worker_args = [
         "--iq", capture, "--fc", str(fc),
         "--block-seconds", str(block_seconds),
         "--max-symbols", "512", "--timing",
+        "--dispatch-depth", str(dispatch_depth),
         # capacity sized for the dense stimulus (~76 bursts per 1 s
         # window; the worker defaults overflow and drop bursts, and the
         # loss would differ by P because packed slots are per process)
@@ -84,7 +97,10 @@ def run_p(processes: int, capture: str, freqs_mhz: list[float], fc: int,
     return {
         "processes": processes,
         "cores_per_process": per,
+        "pinned": pinned,
         "devices_per_process": devices_per_proc,
+        "block_seconds": block_seconds,
+        "dispatch_depth": dispatch_depth,
         "timed_windows": stats["timed_windows"],
         "timed_s": round(stats["timed_s"], 3),
         "msps": round(msps, 3),
@@ -99,14 +115,18 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--channels", type=int, default=8)
     ap.add_argument("--fs", type=int, default=2_000_000)
-    ap.add_argument("--block-seconds", type=float, default=1.0)
+    ap.add_argument("--block-seconds", default="1.0",
+                    help="comma list of window sizes to sweep")
     ap.add_argument("--processes", default=None,
-                    help="comma list (default: 1,2,..,cores)")
+                    help="comma list (default: 1,2,..,cores plus 2*cores "
+                         "unpinned)")
     ap.add_argument("--devices-per-proc", type=int, default=2)
+    ap.add_argument("--dispatch-depth", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--repeats", type=int, default=3,
-                    help="runs per process count; best throughput kept "
-                         "(2-core box timing noise is +-20%%)")
+                    help="runs per (P, window) point; best/median/worst "
+                         "all recorded (2-core box timing noise is "
+                         "+-20%%), efficiency quoted on best AND worst")
     ap.add_argument("--out", default="SCALING_MEASURED.json")
     args = ap.parse_args()
 
@@ -114,7 +134,8 @@ def main() -> int:
     if args.processes:
         plist = [int(x) for x in args.processes.split(",")]
     else:
-        plist = [p for p in (1, 2, 4, 8) if p <= cores]
+        plist = [p for p in (1, 2, 4, 8) if p <= cores] + [2 * cores]
+    wlist = [float(x) for x in args.block_seconds.split(",")]
     capture = os.path.join("/tmp", f"scaling_{args.fs}_{args.channels}_"
                                    f"{args.seconds}.cu8")
     freqs, fc, truth = synth_capture(capture, args.fs, args.channels,
@@ -125,36 +146,54 @@ def main() -> int:
           file=sys.stderr)
 
     runs = []
-    for p in plist:
-        best = None
-        for rep in range(args.repeats):
-            r = run_p(p, capture, freqs_mhz, fc, args.block_seconds, cores,
-                      args.devices_per_proc, args.timeout)
-            print(f"# P={p} rep{rep}: {r['msps']} Msps over"
-                  f" {r['timed_windows']} windows"
-                  f" ({r['cores_per_process']} cores/proc,"
-                  f" {len(r['frames'])} frames)", file=sys.stderr)
-            if best is None or r["msps"] > best["msps"]:
-                best = r
-        runs.append(best)
+    frame_sets = []
+    for bs in wlist:
+        for p in plist:
+            samples = []
+            for rep in range(args.repeats):
+                r = run_p(p, capture, freqs_mhz, fc, bs, cores,
+                          args.devices_per_proc, args.timeout,
+                          dispatch_depth=args.dispatch_depth)
+                print(f"# P={p} w={bs}s rep{rep}: {r['msps']} Msps over"
+                      f" {r['timed_windows']} windows"
+                      f" ({r['cores_per_process']} cores/proc,"
+                      f" {len(r['frames'])} frames)", file=sys.stderr)
+                frame_sets.append(set(r["frames"]))
+                samples.append(r)
+            samples.sort(key=lambda r: r["msps"])
+            best = dict(samples[-1])
+            del best["frames"]
+            best["msps_worst"] = samples[0]["msps"]
+            best["msps_median"] = samples[len(samples) // 2]["msps"]
+            runs.append(best)
 
-    # correctness: identical frame sets at every process count
-    frame_sets = [set(r["frames"]) for r in runs]
+    # correctness: identical frame sets at every process count, window
+    # size, and repeat (windowing is exact overlap-save; ownership is
+    # trigger-position based, so the union must not depend on geometry)
     identical = all(fs_ == frame_sets[0] for fs_ in frame_sets)
-    base = runs[0]["msps"] / (runs[0]["processes"]
-                              * runs[0]["cores_per_process"])
+    # efficiency vs the P=1 point of the SAME window size, on the
+    # core-normalised ideal (P procs x per-proc core share); quote the
+    # best-of-repeats AND the worst-of-repeats (the target is a >=0.9
+    # WORST case, not a lucky median)
+    base_by_w = {r["block_seconds"]: r for r in runs if r["processes"] == 1}
     for r in runs:
-        # efficiency per core-normalised ideal: P procs x per-proc cores
+        b = base_by_w.get(r["block_seconds"])
+        if b is None:
+            continue
+        base = b["msps"] / (b["processes"] * b["cores_per_process"])
         ideal = base * r["processes"] * r["cores_per_process"]
         r["efficiency_vs_1proc"] = round(r["msps"] / ideal, 3)
-        del r["frames"]
+        # worst-case pairing: this point's slowest repeat vs the SAME
+        # window's fastest P=1 repeat — the harshest honest ratio
+        r["efficiency_worst"] = round(r["msps_worst"] / ideal, 3)
 
     out = {
         "capture_seconds": args.seconds,
         "channels": args.channels,
         "bursts": len(truth),
         "cores_available": cores,
-        "frames_identical_across_P": identical,
+        "dispatch_depth": args.dispatch_depth,
+        "frames_identical_across_runs": identical,
         "runs": runs,
     }
     with open(args.out, "w") as f:

@@ -168,6 +168,16 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--abort-after-window", type=int, default=-1,
                     help="test hook: exit cleanly right after this "
                          "window's result is emitted and checkpointed")
+    ap.add_argument("--dispatch-depth", type=int, default=2,
+                    help="windowed mode: how many windows may be "
+                         "dispatched (channelized + enqueued into the "
+                         "collective) before the oldest is fetched.  "
+                         "Depth 1 is fetch-before-next-dispatch; depth 2 "
+                         "(default) hides one window's collective "
+                         "rendezvous + emit/IO skew behind the next "
+                         "window's channelize; deeper absorbs multi-"
+                         "window skew spikes at ~one window slice of "
+                         "extra memory per level")
     ap.add_argument("--output", choices=("frames", "json", "text"),
                     default="frames",
                     help="frames: machine-readable 'FRAME chan t0 hex' "
@@ -463,12 +473,15 @@ def _worker_main(argv=None) -> int:
             stop_w = n_win
             if 0 <= args.abort_after_window < n_win:
                 stop_w = args.abort_after_window + 1
-            pending = None           # (wi, in-flight dispatch)
+            from collections import deque
+
+            depth = max(1, args.dispatch_depth)
+            pending: deque = deque()   # (wi, in-flight dispatch), oldest first
             for wi in range(resume_w, stop_w):
                 if stop_requested:
                     # SIGTERM drain: stop dispatching; the tail flush
                     # below finishes (fetch+emit+checkpoint) the pending
-                    # window, which every process has already dispatched
+                    # windows, which every process has already dispatched
                     break
                 out = dispatch_span(wi * core_p - lmarg_p, total_p)
                 if wi == resume_w:
@@ -480,11 +493,11 @@ def _worker_main(argv=None) -> int:
                     for k in phase_s:
                         phase_s[k] = 0.0
                 else:
-                    if pending is not None:
-                        n_cands += finish_window(*pending)
-                    pending = (wi, out)
-            if pending is not None:
-                n_cands += finish_window(*pending)
+                    pending.append((wi, out))
+                    if len(pending) >= depth:
+                        n_cands += finish_window(*pending.popleft())
+            while pending:
+                n_cands += finish_window(*pending.popleft())
             if args.timing and t_warm is not None and n_timed:
                 print("STATS " + _json.dumps({
                     "pid": args.process_id,

@@ -459,6 +459,68 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
     )
 
 
+def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8"):
+    """Chip-bound decode probe for benchmarking: returns (probe, raw_dev, t).
+
+    probe(raw_dev, salts) runs len(salts) FULL decodes of the staged
+    block inside one device program (lax.fori_loop, each iteration
+    salt-perturbed so XLA cannot hoist the body) and returns a uint32
+    checksum of every packed result — the only bytes that cross the link.
+    The axon backend is lazy (only a device->host fetch forces work), so
+    fetching the 4-byte checksum forces all the inner decodes while
+    keeping the tunnel's 10-30 ms per-fetch floor amortised 1/len(salts).
+    This is what the chip does when the link is out of the loop — the
+    measurement VERDICT r3 asked for next to the fetch-to-fetch Msps.
+
+    The staged program is IDENTICAL in structure to _dispatch_fused's
+    (same channelizer impl, sync impl, compute mode, packed layout); the
+    LO phase cursor is pinned to 0 (repeat decodes of one block)."""
+    from .io.sdr import RTL_DC_OFFSET
+    from .ops.channelizer import period_phases
+
+    ch = pipe.channelizer
+    per, _pad = RAW_FMT[fmt]
+    t = len(raw) // per
+    align = ch.p_in * (32 if pipe.cfg.use_pallas else 1)
+    t -= t % align
+    b = t // ch.p_in
+    ph = period_phases(ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, 0)
+    ph_r = jnp.asarray(np.ascontiguousarray(ph.real))
+    ph_i = jnp.asarray(np.ascontiguousarray(ph.imag))
+    dc = jnp.float32(RTL_DC_OFFSET)
+    mc, ms, mo = (pipe.cfg.max_candidates, pipe.cfg.max_symbols,
+                  pipe._max_out())
+
+    def one(r):
+        if ch.impl == "pfb":
+            return _wideband_raw_decode_pfb(
+                r, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+                ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
+                dc, ch._pfb_a, ch._pfb_b, ch.p_in, mc, ms, mo, fmt,
+                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+        if ch.impl == "dft":
+            return _wideband_raw_decode_dft(
+                r, ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask,
+                ch._dft_invlen, dc, ch.p_in, mc, ms, mo, fmt,
+                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+        return _wideband_u8_decode(
+            r, ch._lo_r, ch._lo_i, ph_r, ph_i, ch._a, dc, mc, ms, mo,
+            pipe.cfg.use_pallas, fmt,
+            compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+
+    @jax.jit
+    def probe(raw_dev, salts):
+        def body(i, acc):
+            r = raw_dev.at[0].add(salts[i])
+            packed = one(r)
+            return acc + packed.astype(jnp.uint32).sum()
+
+        return jax.lax.fori_loop(0, salts.shape[0], body, jnp.uint32(0))
+
+    raw_dev = jax.device_put(jnp.asarray(raw[: per * t]))
+    return probe, raw_dev, t
+
+
 def packed_stats(buf: np.ndarray) -> dict:
     """Block-wide stage counters from a packed buffer (sums across shards)."""
     meta = np.ascontiguousarray(np.asarray(buf)[:, 2048:]).view(np.int32)
