@@ -4,6 +4,9 @@
  * compiled unmodified.
  *
  * Usage: ref_shim_air <file.f32> <Fc_Hz> <freq_MHz>... [-J -G -E -U -q]
+ *                     [-r5000000]
+ * -r selects the airspy rate (6000000 Mini default / 5000000 R2,
+ * air.c:130-141 sets SDRINRATE+SDRCLK from the device's rate list).
  */
 #define _GNU_SOURCE
 #include <complex.h>
@@ -50,11 +53,19 @@ int main(int argc, char **argv)
     const char *path = argv[1];
     char *lblf = NULL;
     Fc = (unsigned int)strtoul(argv[2], NULL, 10);
+    /* rate first: F0 and the per-channel Fo depend on it (air.c:182) */
+    for (n = 3; n < argc; n++) {
+        if (argv[n][0] == '-' && argv[n][1] == 'r') {
+            SDRINRATE = (unsigned int)strtoul(argv[n] + 2, NULL, 10);
+            SDRCLK = SDRINRATE / 4000;   /* air.c:138 */
+        }
+    }
     unsigned int F0 = Fc + SDRINRATE / 4;
     nbch = 0;
     for (n = 3; n < argc; n++) {
         if (argv[n][0] == '-') {
             switch (argv[n][1]) {
+            case 'r': break;             /* handled above */
             case 'J': jsonout = 1; verbose = 0; break;
             case 'R': routeout = 1; jsonout = 1; verbose = 0; break;
             case 'a': regout = 1; jsonout = 0; verbose = 0; break;

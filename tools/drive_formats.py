@@ -66,7 +66,11 @@ def synth_complex(path: str, fmt: str, fs: int, seconds: float,
                 break
             bb[pos : pos + len(burst)] += burst
             texts.append(text)
-            pos += len(burst) + int(rng.integers(4000, 14000))
+            # gap keeps <=28 bursts/channel per 4 s window: the CLI's
+            # per-channel sync-candidate capacity is 32/block
+            # (PipelineConfig.max_candidates); this tool drives
+            # production shape, not slot-overflow (which warns)
+            pos += len(burst) + int(rng.integers(6500, 16000))
             k += 1
         wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total)
     noise = rng.normal(size=total) + 1j * rng.normal(size=total)
@@ -119,7 +123,11 @@ def synth_real(path: str, fs: int, seconds: float):
                 break
             bb[pos : pos + len(burst)] += burst
             texts.append(text)
-            pos += len(burst) + int(rng.integers(4000, 14000))
+            # gap keeps <=28 bursts/channel per 4 s window: the CLI's
+            # per-channel sync-candidate capacity is 32/block
+            # (PipelineConfig.max_candidates); this tool drives
+            # production shape, not slot-overflow (which warns)
+            pos += len(burst) + int(rng.integers(6500, 16000))
             k += 1
         # Re{a(t) e^{j 2 pi fo t}} * 2: channel at fo relative to F0,
         # conjugate image at -fo (outside the per-channel passband)
