@@ -230,3 +230,64 @@ def test_chunked_demod_matches_dense():
     finally:
         P.DEMOD_CHUNK_GATE = gate
     np.testing.assert_array_equal(dense, chunked)
+
+
+@pytest.mark.parametrize("chan_impl", ["matmul", "dft"])
+def test_device_probe_matches_dispatch(chan_impl):
+    """bench's chip-bound probe (make_device_probe: staged raw, N salted
+    decodes chained in one fori_loop, checksum-only fetch) must run the
+    SAME program as the normal fused dispatch: with a zero salt, its
+    checksum equals the packed-buffer sum of decode_wideband_u8, and the
+    salt loop must not change the decode (salts perturb raw[0] only —
+    one sample of one channel's input, below the noise floor)."""
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.pipeline import make_device_probe
+
+    rng = np.random.default_rng(3)
+    content = _mk_frame(rng)
+    plan = mod.make_burst([content])
+    fs, fc, f = 2_000_000, 136_900_000, 136_975_000
+    bb = mod.synthesize_baseband(plan, start=900, total=84_000)
+    wide = mod.upsample_to_wideband(bb, fs, f - fc, total=fs) * 40
+    wide += (rng.normal(size=fs) + 1j * rng.normal(size=fs))
+    inter = np.empty(2 * len(wide), np.float32)
+    inter[0::2] = wide.real + 127.37
+    inter[1::2] = wide.imag + 127.37
+    raw = np.clip(np.round(inter), 0, 255).astype(np.uint8)
+
+    cfg = PipelineConfig(
+        freqs_hz=[float(f)], fs=fs, fc_hz=float(fc),
+        lo_wrap=True, max_candidates=8, max_symbols=512, max_out=64,
+        chan_impl=chan_impl)
+    pipe = Pipeline(cfg)
+    probe, raw_dev, t = make_device_probe(pipe, raw)
+
+    # reference value: the normal fused dispatch of the same span (a
+    # FRESH pipe so the LO period cursor matches the probe's pinned 0)
+    from vdlm2dec_tpu.pipeline import _dispatch_fused
+
+    buf = np.asarray(_dispatch_fused(Pipeline(cfg), raw[: 2 * t],
+                                     "cu8", 0, 0))
+    # the probe checksums the bit-exact portions only (block bytes +
+    # integer meta; the float of/df words round differently across XLA
+    # program structures)
+    want = int(buf[:, :2048].astype(np.uint32).sum()
+               + buf[:, 2048:2076].astype(np.uint32).sum()
+               + buf[:, 2084:2096].astype(np.uint32).sum())
+    cands = pipe.decode_wideband_u8(raw[: 2 * t])
+    bursts = pipe._finish(cands, 0)
+    frames = [fr for b in bursts for fr in b.frames]
+    assert len(frames) == 1
+    np.testing.assert_array_equal(frames[0][1:-3], content)
+
+    # salt 0 = the exact dispatch program: checksums must agree
+    chk0 = int(np.asarray(probe(raw_dev, jnp.zeros((1,), jnp.uint8))))
+    assert chk0 == want
+    # every loop iteration decodes the same block: N iterations = N x
+    # the single-decode checksum (salts only defeat XLA loop hoisting;
+    # a 1-LSB raw perturbation does not change any decoded byte)
+    chk1 = int(np.asarray(probe(raw_dev, jnp.full((1,), 5, jnp.uint8))))
+    chk3 = int(np.asarray(probe(raw_dev, jnp.arange(3, dtype=jnp.uint8))))
+    assert chk1 == want
+    assert chk3 == 3 * chk1

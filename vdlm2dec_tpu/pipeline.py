@@ -513,7 +513,15 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8"):
         def body(i, acc):
             r = raw_dev.at[0].add(salts[i])
             packed = one(r)
-            return acc + packed.astype(jnp.uint32).sum()
+            # checksum the bit-exact portions only: block bytes +
+            # integer meta.  The float of/df meta words (7-8) round
+            # differently across XLA program structures (a 1-trip loop
+            # canonicalizes to the plain body; scan/fori bodies fuse
+            # differently), so including them would make the checksum
+            # compare program layout, not decode output
+            return (acc + packed[:, :2048].astype(jnp.uint32).sum()
+                    + packed[:, 2048:2076].astype(jnp.uint32).sum()
+                    + packed[:, 2084:2096].astype(jnp.uint32).sum())
 
         return jax.lax.fori_loop(0, salts.shape[0], body, jnp.uint32(0))
 
