@@ -355,3 +355,36 @@ def test_worker_formats_cs16_and_f32real(tmp_path):
     frames, _ = _frames(outs)
     assert len(frames) == 1
     assert bytes.fromhex(next(iter(frames))[2])[1:-3] == bytes(cre)
+
+
+def test_dispatch_depth_frame_parity(tmp_path):
+    """--dispatch-depth deepens the in-flight window pipeline (hides the
+    per-window collective rendezvous); it must not change WHAT is
+    decoded.  Depth 1 (fetch-before-next-dispatch), 2 (the default
+    double-buffering) and 3 produce identical frame sets."""
+    from vdlm2dec_tpu import modulator as mod2
+    from vdlm2dec_tpu.io.sdr import write_capture
+
+    rng = np.random.default_rng(23)
+    fs = 2_000_000
+    t_raw = 6 * 250 * 2000            # 6 windows of 0.25 s
+    total_dec = t_raw * 84 // 2000
+    sig = np.zeros(total_dec, dtype=np.complex128)
+    for st in range(2500, total_dec - 3000, 9000):
+        c = rng.integers(0, 256, 25).astype(np.uint8)
+        sig += mod2.synthesize_baseband(mod2.make_burst([c]), start=st,
+                                        total=total_dec)
+    wide = mod2.upsample_to_wideband(sig, fs, 75_000.0, total=t_raw) * 30
+    wide += rng.normal(size=t_raw) + 1j * rng.normal(size=t_raw)
+    cap = str(tmp_path / "mh_depth.cu8")
+    write_capture(cap, wide, "cu8")
+
+    base = ["--iq", cap, "--fc", "136900000", "136.975",
+            "--time-shards", "8", "--max-symbols", "512",
+            "--max-candidates", "8", "--block-seconds", "0.25"]
+    got = {}
+    for depth in (1, 2, 3):
+        outs = launch_local(2, base + ["--dispatch-depth", str(depth)],
+                            local_devices=4)
+        got[depth], _ = _frames(outs)
+    assert got[1] and got[1] == got[2] == got[3]
