@@ -388,3 +388,48 @@ def test_dispatch_depth_frame_parity(tmp_path):
                             local_devices=4)
         got[depth], _ = _frames(outs)
     assert got[1] and got[1] == got[2] == got[3]
+
+
+def test_token_chained_dispatch_serializes_collective_programs():
+    """MultiHostDecoder.dispatch chains a zero-valued token from each
+    collective program's output into the next program's input: with
+    dispatch_depth >= 2 two programs with Gloo collectives are in flight
+    per process, and without the data dependency XLA-CPU may enter them
+    in different orders on different processes (rare futex deadlock seen
+    in the r4 scaling sweep).  The token must (a) thread a fresh output
+    array through every dispatch, (b) stay exactly 0.0 so the y + tok add
+    is an f32 identity, and (c) leave decoded candidates identical to the
+    pre-token path (covered by the cross-process parity tests; here the
+    single-process mesh pins candidate content with two windows in
+    flight at once)."""
+    from vdlm2dec_tpu.parallel.multihost import MultiHostDecoder, global_mesh
+
+    rng = np.random.default_rng(5)
+    t_total = 8 * 4200
+    content = rng.integers(0, 256, 25).astype(np.uint8)
+    sig = np.zeros(t_total, dtype=np.complex128)
+    sig += mod.synthesize_baseband(mod.make_burst([content]), start=9000,
+                                   total=t_total)
+    sig = (sig * 20 + rng.normal(size=t_total)
+           + 1j * rng.normal(size=t_total)).astype(np.complex64)
+
+    mesh = global_mesh(1, 8)
+    dec = MultiHostDecoder(mesh, max_candidates=2, max_symbols=512)
+    assert dec._tok is None
+    # depth-2 pattern: both windows dispatched before either fetch
+    out0 = dec.dispatch(sig[None, :])
+    tok0 = dec._tok
+    assert tok0 is not None
+    out1 = dec.dispatch(sig[None, :])
+    assert dec._tok is not tok0                 # fresh token per program
+    c0 = dec.fetch(out0)
+    c1 = dec.fetch(out1)
+    np.testing.assert_array_equal(np.asarray(tok0), 0.0)
+    np.testing.assert_array_equal(np.asarray(dec._tok), 0.0)
+
+    frames0 = sorted((c["chan"], c["t0"]) for c in c0)
+    assert frames0 == sorted((c["chan"], c["t0"]) for c in c1)
+    assert any(8400 <= t0 < 12600 for _, t0 in frames0)
+    # identical to the serial (fetch-each) path
+    serial = dec.decode_local(sig[None, :])
+    assert sorted((c["chan"], c["t0"]) for c in serial) == frames0

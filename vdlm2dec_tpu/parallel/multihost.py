@@ -78,13 +78,49 @@ class MultiHostDecoder:
 
         self.mesh = mesh
         self._spec = P("chan", "time", None)
+        self._tok_spec = P(("chan", "time"))
+        base_step = packed_decode_step(max_candidates, max_symbols, max_out)
+
+        def chained(y, tok):
+            # Token chaining: tok is the previous window's token OUTPUT, so
+            # this program's inputs are not ready — and the program cannot
+            # START — until the previous collective program has finished.
+            # Without it, dispatch_depth >= 2 keeps two programs with Gloo
+            # collectives in flight per process, and XLA-CPU gives no
+            # cross-PROGRAM ordering guarantee: process A can enter window
+            # w+1's rendezvous while B is still in w's, and both block
+            # forever (observed as a rare futex deadlock in the scaling
+            # sweep; real TPUs serialize programs per core, so this is
+            # emulation-path hardening).  tok is always 0.0; the add is an
+            # exact f32 identity and the min keeps the output token
+            # data-DEPENDENT on the decode so XLA cannot constant-fold the
+            # chain away.
+            import jax.numpy as jnp
+
+            y = y + tok[0]
+            buf = base_step(y)
+            tok_out = jnp.minimum(
+                buf.ravel()[0].astype(jnp.float32), jnp.float32(0.0)
+            )[None]
+            return buf, tok_out
+
         self._step = jax.jit(
             jax.shard_map(
-                packed_decode_step(max_candidates, max_symbols, max_out),
+                chained,
                 mesh=mesh,
-                in_specs=(self._spec,),
-                out_specs=P(("chan", "time"), None),
+                in_specs=(self._spec, self._tok_spec),
+                out_specs=(P(("chan", "time"), None), self._tok_spec),
             )
+        )
+        self._tok = None
+
+    def _initial_token(self):
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        n_local = sum(1 for _ in self.mesh.local_mesh.devices.flat)
+        return multihost_utils.host_local_array_to_global_array(
+            _np.zeros(n_local, _np.float32), self.mesh, self._tok_spec
         )
 
     def dispatch(self, y_local: np.ndarray):
@@ -93,7 +129,9 @@ class MultiHostDecoder:
         dispatch is asynchronous, so the cross-host rendezvous and the
         shard compute proceed in the runtime while the caller channelizes
         the next window — the double-buffering that hides per-window
-        collective latency (SCALING.md)."""
+        collective latency (SCALING.md).  Consecutive dispatches are
+        token-chained so each process's collective programs execute in
+        dispatch order (see `chained` above)."""
         from jax.experimental import multihost_utils
 
         from ..ops.demod import pack_complex
@@ -103,7 +141,10 @@ class MultiHostDecoder:
         g = multihost_utils.host_local_array_to_global_array(
             np.asarray(y_local, dtype=np.float32), self.mesh, self._spec
         )
-        return self._step(g)
+        if self._tok is None:
+            self._tok = self._initial_token()
+        out, self._tok = self._step(g, self._tok)
+        return out
 
     def fetch(self, out) -> list[dict]:
         """Materialize a dispatch() result: block on this host's shards and
