@@ -259,6 +259,18 @@ def _worker_main(argv=None) -> int:
                     _signal.signal(_sig, _request_stop)
                 except (ValueError, OSError):
                     pass
+        # ops/debug aid: SIGUSR1 dumps every thread's Python stack to a
+        # per-process file (a hung collective is otherwise opaque — the
+        # runtime threads sit in futex waits with no Python-level trace)
+        dump_dir = os.environ.get("VDLM2_STACKDUMP_DIR")
+        if dump_dir and hasattr(_signal, "SIGUSR1"):
+            import faulthandler
+
+            _dump_f = open(os.path.join(
+                dump_dir, f"stacks_p{args.process_id}_{os.getpid()}.txt"),
+                "w")
+            faulthandler.register(_signal.SIGUSR1, file=_dump_f,
+                                  all_threads=True)
 
     import jax
 
@@ -573,11 +585,13 @@ def launch_local(num_processes: int, worker_args: list[str],
     single-host machines honestly for scaling measurements)."""
     import socket
     import subprocess
+    import tempfile
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     procs = []
+    files = []
     for pid in range(num_processes):
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
@@ -586,21 +600,48 @@ def launch_local(num_processes: int, worker_args: list[str],
         ).strip()
         env["JAX_PLATFORMS"] = "cpu"
         pin = (["taskset", "-c", cpu_sets[pid]] if cpu_sets else [])
+        # stdout/stderr go to FILES, not pipes: this launcher joins the
+        # workers one at a time, and a worker whose un-drained pipe fills
+        # (64 KB — a 16 s / 8 ch capture's FRAME lines alone exceed it)
+        # blocks mid-emit, never joins its next collective, and stalls
+        # every OTHER worker inside the rendezvous — a deterministic
+        # cross-process deadlock that looks like a Gloo hang (r4 scaling
+        # sweep; the worker stacks showed emit() blocked on write vs
+        # dispatch() blocked in the collective).  Files have no
+        # backpressure, matching production where each host owns its
+        # stdout.
+        of = tempfile.TemporaryFile()
+        ef = tempfile.TemporaryFile()
+        files.append((of, ef))
         procs.append(subprocess.Popen(
             pin + [sys.executable, "-m", "vdlm2dec_tpu.parallel.multihost",
                    "--coordinator", f"127.0.0.1:{port}",
                    "--num-processes", str(num_processes),
                    "--process-id", str(pid)] + worker_args,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            stdout=of, stderr=ef, env=env,
         ))
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=timeout)
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"worker failed ({p.returncode}):\n{err.decode()[-2000:]}"
-            )
-        outs.append(out.decode())
+    try:
+        for p, (of, ef) in zip(procs, files):
+            p.wait(timeout=timeout)
+            of.seek(0)
+            ef.seek(0)
+            out, err = of.read(), ef.read()
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker failed ({p.returncode}):\n{err.decode()[-2000:]}"
+                )
+            outs.append(out.decode())
+    finally:
+        # never leave live workers behind (a timeout used to orphan the
+        # whole job: TimeoutExpired propagated with children still running)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for of, ef in files:
+            of.close()
+            ef.close()
     return outs
 
 
