@@ -148,23 +148,40 @@ def main() -> int:
     runs = []
     frame_sets = []
     for bs in wlist:
-        for p in plist:
-            samples = []
-            for rep in range(args.repeats):
+        # INTERLEAVED schedule: rep0 of every P, then rep1 of every P, ...
+        # — the box's ambient speed drifts +-20% across minutes, so
+        # back-to-back (P=1, P=k) pairs let the drift cancel in the
+        # PAIRED efficiency below, which block-ordered repeats cannot
+        samples_by_p: dict = {p: [] for p in plist}
+        for rep in range(args.repeats):
+            for p in plist:
                 r = run_p(p, capture, freqs_mhz, fc, bs, cores,
                           args.devices_per_proc, args.timeout,
                           dispatch_depth=args.dispatch_depth)
                 print(f"# P={p} w={bs}s rep{rep}: {r['msps']} Msps over"
                       f" {r['timed_windows']} windows"
                       f" ({r['cores_per_process']} cores/proc,"
-                      f" {len(r['frames'])} frames)", file=sys.stderr)
+                      f" {len(r['frames'])} frames)", file=sys.stderr,
+                      flush=True)
                 frame_sets.append(set(r["frames"]))
-                samples.append(r)
-            samples.sort(key=lambda r: r["msps"])
+                samples_by_p[p].append(r)
+        for p in plist:
+            samples = sorted(samples_by_p[p], key=lambda r: r["msps"])
             best = dict(samples[-1])
             del best["frames"]
             best["msps_worst"] = samples[0]["msps"]
             best["msps_median"] = samples[len(samples) // 2]["msps"]
+            # paired efficiency: rep i of this point vs rep i of the SAME
+            # window's P=1 baseline (run back-to-back above) — drift-
+            # cancelled; recorded per pair so min/median are honest
+            if p != 1 and 1 in samples_by_p:
+                pairs = []
+                for ri, rb in zip(samples_by_p[p], samples_by_p[1]):
+                    base = rb["msps"] / (rb["processes"]
+                                         * rb["cores_per_process"])
+                    ideal = base * ri["processes"] * ri["cores_per_process"]
+                    pairs.append(round(ri["msps"] / ideal, 3))
+                best["efficiency_paired"] = sorted(pairs)
             runs.append(best)
 
     # correctness: identical frame sets at every process count, window
