@@ -752,6 +752,10 @@ def main():
                     help="skip remaining configs when past this wall time")
     args = ap.parse_args()
 
+    from vdlm2dec_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.quick:
         # 512 symbols covers the largest synthesized burst (120-byte
         # content -> ~460 symbols); 256 truncated the long tail and
@@ -786,44 +790,6 @@ def main():
             extra["device_8ch"] = {"error": str(e)}
     elif args.device:
         extra["device_8ch"] = {"skipped": "past budget"}
-    if (args.scale and args.compute == "f32" and args.sync_impl == "xla"
-            and time.perf_counter() - t_start < args.budget_s):
-        # record the opt-in fast path (bf16 matmuls + fused Pallas sync)
-        # next to the parity-default primary
-        try:
-            extra["fast_8ch_bf16_fused"] = run_config(
-                args.channels, args.seconds, args.iters, args.max_symbols,
-                args.max_candidates, False, chan_impl=args.chan_impl,
-                compute="bf16", sync_impl="fused",
-            )
-        except Exception as e:
-            print(f"# bf16+fused config failed: {e}", file=sys.stderr)
-            extra["fast_8ch_bf16_fused"] = {"error": str(e)}
-    if args.scale:
-        # the residue-space channelizer wins ~2x at high channel counts
-        # (76ch measured 18.1 vs 9.2 Msps, identical recall).  Both scale
-        # configs use 25 kHz spacing: at 50 kHz, 64 channels span 3.2 MHz
-        # > the 2 Msps Nyquist and alias onto each other (the round-2
-        # "143 frames from 98 bursts" anomaly; make_capture now rejects
-        # any aliasing plan outright).  Active channels sit 125 kHz apart:
-        # the 84 kHz decimation folds a neighbour at offset S to |S mod 84|
-        # kHz, and 125 kHz folds to 41 kHz — maximally far from the matched
-        # filter (100 kHz folds to 16 kHz and corrupts marginal bursts
-        # through the reference-parity boxcar)
-        for ch, sec, it, sp, act in ((64, 1.0, 4, 25_000, 5),
-                                     (76, 1.0, 4, 25_000, 5)):
-            if time.perf_counter() - t_start > args.budget_s:
-                print(f"# budget exceeded, skipping {ch}ch", file=sys.stderr)
-                continue
-            try:
-                extra[f"scale_{ch}ch"] = run_config(
-                    ch, sec, it, args.max_symbols, args.max_candidates,
-                    False, spacing=sp, active_every=act, chan_impl="dft",
-                    compute=args.compute, sync_impl=args.sync_impl,
-                )
-            except Exception as e:          # never lose the primary metric
-                print(f"# {ch}ch config failed: {e}", file=sys.stderr)
-                extra[f"scale_{ch}ch"] = {"error": str(e)}
     band_cutoff = min(args.budget_s, args.band_budget_s)
     band = args.band if args.band is not None else True
     if band and time.perf_counter() - t_start > band_cutoff:
@@ -912,6 +878,49 @@ def main():
         except Exception as e:
             print(f"# latency mode failed: {e}", file=sys.stderr)
             extra["latency"] = {"error": str(e)}
+    # the auxiliary legs (opt-in fast path, 64/76ch dft scaling) run
+    # LAST: on a cold-compile session the remote compiles can eat the
+    # whole budget, and the headline band/kchan/latency evidence must
+    # not be what gets budget-skipped (r4: band+kchan were skipped at
+    # 900/1000 s while 64/76ch had already run)
+    if (args.scale and args.compute == "f32" and args.sync_impl == "xla"
+            and time.perf_counter() - t_start < args.budget_s):
+        # record the opt-in fast path (bf16 matmuls + fused Pallas sync)
+        # next to the parity-default primary
+        try:
+            extra["fast_8ch_bf16_fused"] = run_config(
+                args.channels, args.seconds, args.iters, args.max_symbols,
+                args.max_candidates, False, chan_impl=args.chan_impl,
+                compute="bf16", sync_impl="fused",
+            )
+        except Exception as e:
+            print(f"# bf16+fused config failed: {e}", file=sys.stderr)
+            extra["fast_8ch_bf16_fused"] = {"error": str(e)}
+    if args.scale:
+        # the residue-space channelizer wins ~2x at high channel counts
+        # (76ch measured 18.1 vs 9.2 Msps, identical recall).  Both scale
+        # configs use 25 kHz spacing: at 50 kHz, 64 channels span 3.2 MHz
+        # > the 2 Msps Nyquist and alias onto each other (the round-2
+        # "143 frames from 98 bursts" anomaly; make_capture now rejects
+        # any aliasing plan outright).  Active channels sit 125 kHz apart:
+        # the 84 kHz decimation folds a neighbour at offset S to |S mod 84|
+        # kHz, and 125 kHz folds to 41 kHz — maximally far from the matched
+        # filter (100 kHz folds to 16 kHz and corrupts marginal bursts
+        # through the reference-parity boxcar)
+        for ch, sec, it, sp, act in ((64, 1.0, 4, 25_000, 5),
+                                     (76, 1.0, 4, 25_000, 5)):
+            if time.perf_counter() - t_start > args.budget_s:
+                print(f"# budget exceeded, skipping {ch}ch", file=sys.stderr)
+                continue
+            try:
+                extra[f"scale_{ch}ch"] = run_config(
+                    ch, sec, it, args.max_symbols, args.max_candidates,
+                    False, spacing=sp, active_every=act, chan_impl="dft",
+                    compute=args.compute, sync_impl=args.sync_impl,
+                )
+            except Exception as e:          # never lose the primary metric
+                print(f"# {ch}ch config failed: {e}", file=sys.stderr)
+                extra[f"scale_{ch}ch"] = {"error": str(e)}
     if args.analysis:
         try:
             extra["analysis"] = run_analysis(

@@ -52,6 +52,10 @@ def main() -> int:
                          "when fc sits on the 25 kHz raster, else matmul)")
     args = ap.parse_args()
 
+    from vdlm2dec_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     guard = 2 * STEPRATE
     lo = args.fc - args.fs / 2 + guard
     hi = args.fc + args.fs / 2 - guard

@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # drain-and-exit on SIGTERM/SIGQUIT like SIGINT (sighandler ->
     # stopVdlm2, main.c:106-110,215-220); in-flight host work is flushed
     # by the KeyboardInterrupt handlers below

@@ -236,6 +236,10 @@ def _worker_main(argv=None) -> int:
                     help="comma list of ACARS labels to keep (main.c -b)")
     args = ap.parse_args(argv)
 
+    from ..compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # clean-stop drain: SIGTERM/SIGQUIT (sent to ALL workers by the job
     # manager) sets a flag honored at window boundaries — the in-flight
     # window (which every process has already dispatched, by the loop
