@@ -192,7 +192,7 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         freqs_hz=[float(f) for f in freqs],
         fs=fs,
         fc_hz=float(fc),
-        lo_wrap=(chan_impl in ("dft", "pfb")),  # residue impls need the wrapped LO
+        lo_wrap=(chan_impl in ("dft", "pfb", "auto")),  # residue impls need the wrapped LO
         max_candidates=max_cand,
         max_symbols=max_symbols,
         use_pallas=pallas and chan_impl == "matmul",
@@ -347,7 +347,7 @@ def run_device_config(channels: int, seconds: float, outer: int, inner: int,
         base=base)
     cfg = PipelineConfig(
         freqs_hz=[float(f) for f in freqs], fs=fs, fc_hz=float(fc),
-        lo_wrap=(chan_impl in ("dft", "pfb")),
+        lo_wrap=(chan_impl in ("dft", "pfb", "auto")),
         max_candidates=max_candidates or max(16, int(16 * seconds)),
         max_symbols=max_symbols,
         use_pallas=pallas and chan_impl == "matmul",
@@ -687,10 +687,11 @@ def main():
     ap.add_argument("--fetch-workers", type=int, default=1,
                     help="concurrent result-fetch threads (hide per-fetch "
                          "link latency)")
-    ap.add_argument("--chan-impl", default="matmul",
-                    choices=["matmul", "dft", "pfb"],
-                    help="dft = residue-space channelizer (25/84 the FLOPs,"
-                         " no dense mixed intermediate)")
+    ap.add_argument("--chan-impl", default="auto",
+                    choices=["auto", "matmul", "dft", "pfb"],
+                    help="auto (the product default) = residue-space dft on"
+                         " eligible plans — 13%% faster chip-bound at 8ch,"
+                         " bit-identical; dft/matmul/pfb force one impl")
     ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
                     help="bf16 mix/filter matmuls (f32 accumulation)")
     ap.add_argument("--sync-impl", default="xla", choices=["xla", "fused"],

@@ -291,3 +291,39 @@ def test_device_probe_matches_dispatch(chan_impl):
     chk3 = int(np.asarray(probe(raw_dev, jnp.arange(3, dtype=jnp.uint8))))
     assert chk1 == want
     assert chk3 == 3 * chk1
+
+
+def test_chan_impl_auto_resolution():
+    """chan_impl="auto" (the default since r4) picks the residue-space
+    dft channelizer exactly when the plan is eligible — raster-aligned
+    offsets under wrapped-LO boxcar with no Pallas ingest — and falls
+    back to the dense matmul otherwise.  dft is bit-identical on
+    eligible plans (checksum-verified on the real chip) and measured
+    13% faster chip-bound at 8 channels."""
+    from vdlm2dec_tpu.ops.channelizer import resolve_chan_impl
+    from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
+
+    on = [25_000.0 * k for k in (-3, 1, 4)]
+    assert resolve_chan_impl(on, 2_000_000, 500) == "dft"
+    assert resolve_chan_impl([12_345.0], 2_000_000, 500) == "matmul"
+    assert resolve_chan_impl(on, 2_000_000, 500,
+                             filter_mode="fir") == "matmul"
+    assert resolve_chan_impl(on, 2_000_000, 500,
+                             lo_wrap=False) == "matmul"
+    assert resolve_chan_impl(on, 2_000_000, 500,
+                             use_pallas=True) == "matmul"
+    # airspy chains: offsets relative to fc + fs/4 stay on the raster
+    assert resolve_chan_impl(on, 5_000_000, 1250) == "dft"
+    assert resolve_chan_impl(on, 6_000_000, 1500) == "dft"
+
+    # Pipeline resolves the config in place (checkpoint geometry and the
+    # wideband wrappers must see the concrete impl, never "auto")
+    cfg = PipelineConfig(freqs_hz=[136_975_000.0, 136_725_000.0],
+                         fc_hz=136_800_000.0, max_symbols=256)
+    assert cfg.chan_impl == "auto"
+    pipe = Pipeline(cfg)
+    assert cfg.chan_impl == "dft"
+    assert pipe.channelizer.impl == "dft"
+    cfg2 = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_800_000.0,
+                          max_symbols=256, use_pallas=True)
+    assert Pipeline(cfg2).channelizer.impl == "matmul"

@@ -77,13 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16: mix/filter matmuls on bfloat16 operands with "
                         "f32 accumulation (3x MXU rate; header/RS/CRC stay "
                         "exact; frame-parity tested)")
-    p.add_argument("--chan-impl", default="matmul",
-                   choices=["matmul", "dft", "pfb"],
-                   help="dft = residue-space channelizer (25/84 the FLOPs, "
-                        "scales to whole-band channel counts); pfb = "
+    p.add_argument("--chan-impl", default="auto",
+                   choices=["auto", "matmul", "dft", "pfb"],
+                   help="auto (default) = residue-space dft when the plan "
+                        "is eligible (raster offsets, boxcar, no --pallas "
+                        "— every real VDL plan), else dense matmul; dft = "
+                        "residue-space channelizer (25/84 the FLOPs, "
+                        "bit-identical output, 13%% faster chip-bound at "
+                        "8ch, scales to whole-band channel counts); pfb = "
                         "factorized-DFT filterbank (O(sqrt(tbl)) per "
-                        "output, wins past ~tens of channels); both need "
-                        "raster-aligned offsets, boxcar mode")
+                        "output, wins past ~hundreds of channels)")
 
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-q", dest="quiet", action="store_true")

@@ -163,6 +163,35 @@ def dft_tables(
     return w, np.maximum(idx, 0), mask, invlen
 
 
+def resolve_chan_impl(
+    f_offsets, fs: int, sdrclk: int, lo_wrap: bool = True,
+    filter_mode: str = "boxcar", use_pallas: bool = False,
+) -> str:
+    """Pick the channelizer implementation for impl="auto".
+
+    The residue-space ("dft") formulation computes the SAME products as
+    the dense mix+dump (bit-identical output, checksum-verified on the
+    real chip) in O(tbl)=O(fs/25 kHz) MACs per output instead of
+    O(P_in), with no (C, B, P_in) mixed intermediate — measured 13%
+    faster chip-bound even at 8 channels, 2x+ at high channel counts.
+    It is exact only when every channel's LO is tbl-periodic, i.e. each
+    offset is a 25 kHz-raster multiple (true for all real VDL plans:
+    channels sit on the raster and chooseFc lands fc on it), under the
+    reference's wrapped-LO boxcar mode.  Off-raster plans, the FIR
+    filter, lo_wrap=False or the Pallas VMEM kernel keep the dense
+    matmul path."""
+    p_in, _ = period_for(sdrclk)
+    tbl = fs // STEPRATE
+    on_raster = all(
+        abs(f - STEPRATE * round(f / STEPRATE)) < 1e-6 for f in f_offsets
+    )
+    if (not use_pallas and lo_wrap and filter_mode == "boxcar"
+            and fs % STEPRATE == 0 and tbl > 0 and p_in % tbl == 0
+            and on_raster):
+        return "dft"
+    return "matmul"
+
+
 def mm_mode(compute: str):
     """(cast dtype, matmul precision) for a compute mode.
 
@@ -404,6 +433,9 @@ class Channelizer:
         self.lo_wrap = lo_wrap
         self.real_input = real_input
         assert filter_mode in ("boxcar", "fir")
+        if impl == "auto":
+            impl = resolve_chan_impl(
+                self.f_offsets, fs, self.sdrclk, lo_wrap, filter_mode)
         assert impl in ("matmul", "dft", "pfb")
         assert impl == "matmul" or (lo_wrap and filter_mode == "boxcar"), (
             "the residue-space (dft/pfb) channelizers require lo_wrap=True "

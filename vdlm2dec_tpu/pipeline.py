@@ -71,11 +71,17 @@ class PipelineConfig:
     filter_mode: str = "boxcar"            # "fir": >60 dB adjacent-channel
                                            # rejection (beats the reference's
                                            # ~1 dB boxcar); boxcar = parity
-    chan_impl: str = "matmul"              # "dft": residue-space channelizer
-                                           # (25/84 the FLOPs, no (C,B,P_in)
-                                           # intermediate — scales to the
-                                           # whole VDL band; needs lo_wrap
-                                           # boxcar)
+    chan_impl: str = "auto"                # "auto": residue-space "dft"
+                                           # channelizer when the plan is
+                                           # eligible (25 kHz-raster
+                                           # offsets, wrapped-LO boxcar —
+                                           # every real VDL plan), else
+                                           # dense "matmul".  dft computes
+                                           # identical products (bit-exact,
+                                           # chip-verified) in 25/84 the
+                                           # FLOPs with no (C,B,P_in)
+                                           # intermediate; "pfb" opt-in
+                                           # wins past ~hundreds of chans
     compute: str = "f32"                   # "bf16": mix/filter matmuls on
                                            # bfloat16 operands w/ f32 accum
                                            # (1 MXU pass vs HIGHEST's 3);
@@ -580,9 +586,6 @@ class Pipeline:
         self.metrics = None              # optional PipelineMetrics sink
         self._overflow_warned = False
         self._metrics_lock = threading.Lock()
-        assert not (cfg.use_pallas and cfg.chan_impl in ("dft", "pfb")), (
-            "use_pallas applies to the dense matmul channelizer only"
-        )
         self.sdrclk = cfg.resolved_sdrclk()
         if cfg.fc_hz is None:
             from .io.sdr import choose_fc
@@ -593,6 +596,18 @@ class Pipeline:
         else:
             f0 = cfg.fc_hz
         self.f_offsets = [f - f0 for f in cfg.freqs_hz]
+        if cfg.chan_impl == "auto":
+            # resolve once so every later cfg.chan_impl branch (fused
+            # ingest gate, wideband wrappers, checkpoint geometry) sees
+            # the concrete implementation
+            from .ops.channelizer import resolve_chan_impl
+
+            cfg.chan_impl = resolve_chan_impl(
+                self.f_offsets, cfg.fs, self.sdrclk, cfg.lo_wrap,
+                cfg.filter_mode, cfg.use_pallas)
+        assert not (cfg.use_pallas and cfg.chan_impl in ("dft", "pfb")), (
+            "use_pallas applies to the dense matmul channelizer only"
+        )
         self.channelizer = Channelizer(
             self.f_offsets,
             fs=cfg.fs,
