@@ -290,5 +290,9 @@ def test_sync_scan_chunked_matches_dense():
     finally:
         demod._SYNC_DENSE_LIMIT = limit
     for a, b in zip(dense, chunked):
+        # the guard here is chunk-SEAM alignment (an off-by-one window
+        # produces O(1) errors); the tolerance allows for XLA fusing the
+        # running-sum core differently inside lax.map vs standalone
+        # (FMA/reassociation ~3e-5 rel on the closed-form residual)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-6, atol=1e-4)
+                                   rtol=2e-4, atol=2e-3)

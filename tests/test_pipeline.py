@@ -316,13 +316,16 @@ def test_chan_impl_auto_resolution():
     assert resolve_chan_impl(on, 5_000_000, 1250) == "dft"
     assert resolve_chan_impl(on, 6_000_000, 1500) == "dft"
 
-    # Pipeline resolves the config in place (checkpoint geometry and the
-    # wideband wrappers must see the concrete impl, never "auto")
+    # Pipeline resolves into a PRIVATE cfg copy (checkpoint geometry and
+    # the wideband wrappers see the concrete impl via pipe.cfg, never
+    # "auto"); the caller's cfg keeps its declared intent so reusing it
+    # for a second Pipeline re-resolves (ADVICE r4)
     cfg = PipelineConfig(freqs_hz=[136_975_000.0, 136_725_000.0],
                          fc_hz=136_800_000.0, max_symbols=256)
     assert cfg.chan_impl == "auto"
     pipe = Pipeline(cfg)
-    assert cfg.chan_impl == "dft"
+    assert cfg.chan_impl == "auto"
+    assert pipe.cfg.chan_impl == "dft"
     assert pipe.channelizer.impl == "dft"
     cfg2 = PipelineConfig(freqs_hz=[136_975_000.0], fc_hz=136_800_000.0,
                           max_symbols=256, use_pallas=True)

@@ -111,19 +111,40 @@ def phase_of(f: jnp.ndarray) -> jnp.ndarray:
 
 def _sync_scan_core(pad: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sync metric over a left-padded phase block: pad (C, 128+t) -> the
-    (err, fr) of the t positions whose windows end inside the block."""
-    idx = jnp.arange(t)[None, :] + jnp.arange(0, 17 * 8, 8)[:, None]  # (17, T)
-    a = pad[:, idx] - jnp.asarray(_SW32)[None, :, None]               # (C,17,T)
-    pd = a[:, 1:, :] - a[:, :-1, :]
-    steps = jnp.where(pd > PI, -TWO_PI, jnp.where(pd < -PI, TWO_PI, 0.0))
-    pu = jnp.cumsum(steps, axis=1)
-    pr = jnp.concatenate([a[:, :1, :], a[:, 1:, :] + pu], axis=1)
-    m = jnp.mean(pr, axis=1, keepdims=True)
-    prc = pr - m
-    l8 = (jnp.arange(17, dtype=jnp.float32) - 8.0)[None, :, None]
-    fr = jnp.sum(prc * l8, axis=1) / _SLOPE_NORM                      # (C, T)
-    e = prc - l8 * fr[:, None, :]
-    err = jnp.sum(e * e, axis=1)
+    (err, fr) of the t positions whose windows end inside the block.
+
+    Unrolled running-sum formulation: the 17 window phases stream through
+    as static slices of pad while S0 = sum(pr), S1 = sum(pr*(k-8)),
+    S2 = sum(pr^2) accumulate, then the LS residual comes out closed-form
+    (err = S2 - S0^2/17 - S1^2/408, fr = S1/408 — exact because
+    sum(k-8) = 0 over k=0..16).  The previous formulation materialized
+    the (C, 17, T) window tensor plus ~6 same-size temporaries through
+    HBM: 35.8 of the 8ch block's 231 ms chip budget (device_stages, r5);
+    this one is a single fused elementwise pass over 17 slice reads.
+    Same unwrap/metric semantics as filteredphase+demodD8psk
+    (d8psk.c:241-291), oracle-tested."""
+    sw = _SW32
+    a0 = pad[:, 0:t] - sw[0]
+    # accumulate pr RELATIVE to the window's first phase: err/fr are
+    # exactly shift-invariant, and small sums avoid the catastrophic
+    # S2 - S0^2/17 cancellation a large common phase would cause in f32
+    p_prev = a0
+    cum = jnp.zeros_like(a0)
+    s0 = jnp.zeros_like(a0)
+    s1 = jnp.zeros_like(a0)
+    s2 = jnp.zeros_like(a0)
+    for k in range(1, 17):
+        pk = pad[:, 8 * k : 8 * k + t] - sw[k]
+        pd = pk - p_prev
+        cum = cum + jnp.where(pd > PI, -TWO_PI,
+                              jnp.where(pd < -PI, TWO_PI, 0.0))
+        pr = (pk - a0) + cum
+        s0 = s0 + pr
+        s1 = s1 + (k - 8.0) * pr
+        s2 = s2 + pr * pr
+        p_prev = pk
+    fr = s1 / _SLOPE_NORM
+    err = s2 - s0 * s0 * (1.0 / 17.0) - s1 * fr
     return err, fr
 
 

@@ -38,6 +38,19 @@ def burst_window(max_symbols: int) -> int:
     return 17 + 7 + 8 * max_symbols
 
 
+def globalize_t0(buf: jnp.ndarray, shard_off: jnp.ndarray) -> jnp.ndarray:
+    """Add a shard's global time offset to the packed t0 meta word
+    (bytes 2052:2056 of the pipeline packed-row layout) — shared by every
+    shard_map decode body so the rewrite can't drift between them."""
+    meta_t0 = jax.lax.bitcast_convert_type(
+        buf[:, 2052:2056], jnp.int32
+    ) + shard_off          # bitcast of (M, 4) u8 collapses to (M,)
+    t0_u8 = jax.lax.bitcast_convert_type(
+        meta_t0[:, None], jnp.uint8
+    ).reshape(-1, 4)
+    return jnp.concatenate([buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1)
+
+
 def make_mesh(n_chan: int, n_time: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     assert devices.size >= n_chan * n_time, (
@@ -106,62 +119,15 @@ class ShardedWidebandDecoder:
             if self.lo_wrap
             else 2.0 * np.pi * np.asarray(self.f_offsets) * (self.p_in / self.fs)
         )
-        mc, ms = self.max_candidates, self.max_symbols
-        right = burst_window(ms)
         lo_r, lo_i = jnp.asarray(lo.real), jnp.asarray(lo.imag)
         a = jnp.asarray(a_np)
         angj = jnp.asarray(ang, dtype=jnp.float32)
-        p_in, p_out = self.p_in, self.p_out
+
+        inner = raw_decode_step(self.max_candidates, self.max_symbols,
+                                self.max_out, self.p_in)
 
         def step(x, lo_r, lo_i, a, ang):
-            # x: (T_raw_local, 2) f32 re/im planes
-            t_local = x.shape[0]
-            b_local = t_local // p_in
-            shard = jax.lax.axis_index("time")
-            b0 = (shard * b_local).astype(jnp.float32)
-            b_idx = b0 + jnp.arange(b_local, dtype=jnp.float32)
-            theta = -ang[:, None] * b_idx[None, :]
-            ph_r, ph_i = jnp.cos(theta), jnp.sin(theta)
-            xr = x[:, 0].astype(jnp.float32).reshape(b_local, p_in)
-            xi = x[:, 1].astype(jnp.float32).reshape(b_local, p_in)
-            mr = xr[None] * lo_r[:, None, :] - xi[None] * lo_i[:, None, :]
-            mi = xr[None] * lo_i[:, None, :] + xi[None] * lo_r[:, None, :]
-            zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
-            zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
-            yr = jnp.einsum("cbn,nm->cbm", zr, a,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            yi = jnp.einsum("cbn,nm->cbm", zi, a,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            c = yr.shape[0]
-            y = jnp.stack(
-                [yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1
-            )                                     # (C, T84, 2)
-            t84 = y.shape[1]
-            y_ext = _halo_exchange(y, HALO_LEFT, right, "time")
-            # early-compaction packed decode (same program as the
-            # single-chip fast path); t0 comes back core-relative,
-            # globalised below via the shard offset baked into meta
-            from ..pipeline import _device_decode_packed
-
-            chan_base = jax.lax.axis_index("chan") * c
-            buf = _device_decode_packed(
-                y_ext, mc, ms, self.max_out,
-                chan_base=chan_base,
-                core_start=HALO_LEFT, core_len=t84,
-            )
-            # add the shard's global offset to the packed t0 meta word
-            shard_off = (shard * t84).astype(jnp.int32)
-            meta_t0 = jax.lax.bitcast_convert_type(
-                buf[:, 2052:2056], jnp.int32
-            ) + shard_off      # bitcast of (M, 4) u8 collapses to (M,)
-            t0_u8 = jax.lax.bitcast_convert_type(
-                meta_t0[:, None], jnp.uint8
-            ).reshape(-1, 4)
-            return jnp.concatenate(
-                [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
-            )
+            return inner(x, lo_r, lo_i, a, ang, jnp.float32(0.0))
 
         out_specs = P(("chan", "time"), None)
         self._step = jax.jit(
@@ -203,6 +169,54 @@ class ShardedWidebandDecoder:
         return unpack_results(buf)
 
 
+def channelize_shard(x, lo_r, lo_i, a, ang, p_in: int, period0):
+    """Dense-matmul channelize of a shard-local raw plane block inside a
+    shard_map body: x (T_raw_local, 2) -> (C_local, T84_local, 2).
+
+    period0 (f32 scalar) is the GLOBAL channelizer-period index of the
+    dispatched span's first sample; each time shard adds its own offset
+    via axis_index, so the continuous-LO (lo_wrap=False) phase stays
+    stream-exact in windowed streaming.  With the reference's wrapped LO
+    (ang = 0) the phase term is exactly 1."""
+    t_local = x.shape[0]
+    b_local = t_local // p_in
+    shard = jax.lax.axis_index("time")
+    b0 = period0 + (shard * b_local).astype(jnp.float32)
+    b_idx = b0 + jnp.arange(b_local, dtype=jnp.float32)
+    theta = -ang[:, None] * b_idx[None, :]
+    ph_r, ph_i = jnp.cos(theta), jnp.sin(theta)
+    xr = x[:, 0].astype(jnp.float32).reshape(b_local, p_in)
+    xi = x[:, 1].astype(jnp.float32).reshape(b_local, p_in)
+    mr = xr[None] * lo_r[:, None, :] - xi[None] * lo_i[:, None, :]
+    mi = xr[None] * lo_i[:, None, :] + xi[None] * lo_r[:, None, :]
+    zr = mr * ph_r[:, :, None] - mi * ph_i[:, :, None]
+    zi = mr * ph_i[:, :, None] + mi * ph_r[:, :, None]
+    yr = jnp.einsum("cbn,nm->cbm", zr, a,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.einsum("cbn,nm->cbm", zi, a,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    c = yr.shape[0]
+    return jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
+
+
+def raw_decode_step(max_candidates: int, max_symbols: int, max_out: int,
+                    p_in: int):
+    """shard_map body: shard-local RAW wideband planes -> packed candidate
+    rows.  Channelize happens INSIDE the sharded program (period-aligned
+    raw input needs no halo; the 84 kHz stream exchanges halos as usual),
+    so no host round-trip of decimated samples exists anywhere — the
+    multi-chip analogue of the single-chip fused-ingest path."""
+    inner = packed_decode_step(max_candidates, max_symbols, max_out)
+
+    def step(x, lo_r, lo_i, a, ang, period0):
+        y = channelize_shard(x, lo_r, lo_i, a, ang, p_in, period0)
+        return inner(y)
+
+    return step
+
+
 def packed_decode_step(max_candidates: int, max_symbols: int, max_out: int):
     """shard_map body shared by the single-host and multi-host decoders:
     local (C_local, T_local, 2) decimated block -> packed candidate rows,
@@ -223,16 +237,7 @@ def packed_decode_step(max_candidates: int, max_symbols: int, max_out: int):
             chan_base=chan_base,
             core_start=HALO_LEFT, core_len=t_local,
         )
-        shard_off = (shard * t_local).astype(jnp.int32)
-        meta_t0 = jax.lax.bitcast_convert_type(
-            buf[:, 2052:2056], jnp.int32
-        ) + shard_off
-        t0_u8 = jax.lax.bitcast_convert_type(
-            meta_t0[:, None], jnp.uint8
-        ).reshape(-1, 4)
-        return jnp.concatenate(
-            [buf[:, :2052], t0_u8, buf[:, 2056:]], axis=1
-        )
+        return globalize_t0(buf, (shard * t_local).astype(jnp.int32))
 
     return step
 

@@ -117,7 +117,8 @@ DEMOD_CHUNK_GATE = 8_000_000
 def _device_decode_packed(y, max_candidates: int, max_symbols: int,
                           max_out: int, chan_base=0,
                           core_start: int = 0, core_len: int = 0,
-                          compute: str = "f32", sync_impl: str = "xla"):
+                          compute: str = "f32", sync_impl: str = "xla",
+                          probe_stage: str | None = None):
     """Packed decode with EARLY candidate compaction.
 
     Sync scan produces (C, K) trigger slots; real traffic is far sparser,
@@ -128,6 +129,12 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     core_start/core_len (nonzero in the sharded path): only triggers inside
     the core region are owned by this block/shard; packed t0 is shifted to
     be core-relative.
+
+    probe_stage (static, measurement only — tools/device_stages.py):
+    truncate the program after the named stage ("filter", "sync",
+    "triggers", "demod", "header", "assemble") and return that stage's
+    tensor, so cumulative device-resident timings of the REAL program
+    localize where chip time goes.  None = the full packed decode.
     """
     from .ops.demod import demod_candidates_flat, demod_candidates_inline
 
@@ -142,9 +149,16 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
         err, fr = sync_scan_pallas(y)
     else:
         f = polyphase_filter(y, compute=compute)
+        if probe_stage == "filter":
+            return f
         p0 = phase_of(f[:, 0])
         err, fr = sync_scan(p0)
+    if probe_stage == "sync":
+        return err + fr
     t0, of, df, valid = find_triggers(err, fr, max_candidates)
+    if probe_stage == "triggers":
+        return (t0.astype(jnp.float32) + of + df
+                + valid.astype(jnp.float32))
     if core_len:
         valid = valid & (t0 >= core_start) & (t0 < core_start + core_len)
 
@@ -184,12 +198,19 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
         ).reshape(m, -1)
     else:
         soft = demod(chan, t0s, ofs, dfs)
+    if probe_stage == "demod":
+        return soft
     length, nbrow, nlbyte, ok = header_decode(soft[:, :25])
+    if probe_stage == "header":
+        return (length + nbrow + nlbyte).astype(jnp.float32) \
+            + ok.astype(jnp.float32)
     need = 8 * MAX_TX_BYTES
     data_soft = soft[:, 25 : 25 + need]
     if data_soft.shape[1] < need:
         data_soft = jnp.pad(data_soft, ((0, 0), (0, need - data_soft.shape[1])))
     blocks, consumed = assemble_blocks(data_soft, nbrow, nlbyte)
+    if probe_stage == "assemble":
+        return blocks.astype(jnp.float32)
 
     rows = blocks.reshape(m * 8, 255)
     ridx = jnp.tile(jnp.arange(8), m).reshape(m, 8)
@@ -231,7 +252,8 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
 _device_decode_packed_jit = jax.jit(
     _device_decode_packed,
     static_argnames=("max_candidates", "max_symbols", "max_out",
-                     "core_start", "core_len", "compute", "sync_impl"),
+                     "core_start", "core_len", "compute", "sync_impl",
+                     "probe_stage"),
 )
 
 
@@ -240,13 +262,29 @@ def _raw_to_planes(raw, fmt: str, dc_offset, p_in: int):
 
     Shared by every fused-ingest wrapper.  cu8 subtracts the rtl_sdr DC
     offset (rtl.c:274-295); f32real is the airspy half-rate real capture
-    (imag=0 — the fs/4 arrangement is baked into the LO offsets)."""
+    (imag=0 — the fs/4 arrangement is baked into the LO offsets).
+
+    The integer formats deinterleave by BITCAST, not stride slicing:
+    adjacent (re, im) u8 pairs ARE one u16 word (i16 pairs one i32), so
+    shift/mask is pure elementwise work on a dense layout.  The old
+    `x[0::2]` stride-2 slice relayouts the whole converted tensor at
+    ~0.5 GB/s on TPU — measured 118 of the 124 ms the channelize stage
+    spent per 8 M-sample block (tools/device_stages.py, r5)."""
     if fmt == "f32real":
         x_r = raw.astype(jnp.float32).reshape(-1, p_in)
         return x_r, jnp.zeros_like(x_r)
-    x = raw.astype(jnp.float32)
     if fmt == "cu8":
-        x = x - dc_offset
+        u = jax.lax.bitcast_convert_type(
+            raw.reshape(-1, 2), jnp.uint16).astype(jnp.int32)
+        x_r = (u & 0xFF).astype(jnp.float32) - dc_offset
+        x_i = (u >> 8).astype(jnp.float32) - dc_offset
+        return x_r.reshape(-1, p_in), x_i.reshape(-1, p_in)
+    if fmt == "cs16":
+        u = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.int32)
+        x_r = ((u << 16) >> 16).astype(jnp.float32)   # arithmetic shift
+        x_i = (u >> 16).astype(jnp.float32)           # sign-extends
+        return x_r.reshape(-1, p_in), x_i.reshape(-1, p_in)
+    x = raw.astype(jnp.float32)
     return x[0::2].reshape(-1, p_in), x[1::2].reshape(-1, p_in)
 
 
@@ -254,7 +292,8 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
                         use_pallas: bool = False, fmt: str = "cu8",
                         core_start: int = 0, core_len: int = 0,
-                        compute: str = "f32", sync_impl: str = "xla"):
+                        compute: str = "f32", sync_impl: str = "xla",
+                        probe_stage: str | None = None):
     """Fused device program: raw wideband IQ -> packed candidates.
 
     Ships the capture's NATIVE sample format over the host link and
@@ -293,16 +332,19 @@ def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
         yi = jnp.einsum("cbn,nm->cbm", zi, am,
                         preferred_element_type=jnp.float32, precision=prec)
         y = jnp.stack([yr.reshape(c, -1), yi.reshape(c, -1)], axis=-1)
+    if probe_stage == "channelize":
+        return y
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
                                  core_start=core_start, core_len=core_len,
-                                 compute=compute, sync_impl=sync_impl)
+                                 compute=compute, sync_impl=sync_impl,
+                                 probe_stage=probe_stage)
 
 
 _wideband_u8_decode_jit = jax.jit(
     _wideband_u8_decode,
     static_argnames=("max_candidates", "max_symbols", "max_out", "use_pallas",
                      "fmt", "core_start", "core_len", "compute",
-                     "sync_impl"),
+                     "sync_impl", "probe_stage"),
 )
 
 
@@ -311,7 +353,8 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
                              max_symbols: int, max_out: int,
                              fmt: str = "cu8",
                              core_start: int = 0, core_len: int = 0,
-                             compute: str = "f32", sync_impl: str = "xla"):
+                             compute: str = "f32", sync_impl: str = "xla",
+                             probe_stage: str | None = None):
     """Fused device program with the residue-space channelizer: native raw
     IQ -> gather into (B, tbl, 84) residue space -> one (C, tbl) matmul ->
     decode.  Same products as the wrapped-LO mix+dump (see
@@ -326,16 +369,19 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
     # it the remote compiler takes 10-29 min on full-burst-window shapes
     # (max_symbols 5456, T~380k) where the matmul channelizer takes ~5
     y = jax.lax.optimization_barrier(jnp.stack([yr, yi], axis=-1))
+    if probe_stage == "channelize":
+        return y
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
                                  core_start=core_start, core_len=core_len,
-                                 compute=compute, sync_impl=sync_impl)
+                                 compute=compute, sync_impl=sync_impl,
+                                 probe_stage=probe_stage)
 
 
 _wideband_raw_decode_dft_jit = jax.jit(
     _wideband_raw_decode_dft,
     static_argnames=("p_in", "max_candidates", "max_symbols", "max_out",
                      "fmt", "core_start", "core_len", "compute",
-                     "sync_impl"),
+                     "sync_impl", "probe_stage"),
 )
 
 
@@ -344,7 +390,8 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
                              max_candidates: int, max_symbols: int,
                              max_out: int, fmt: str = "cu8",
                              core_start: int = 0, core_len: int = 0,
-                             compute: str = "f32", sync_impl: str = "xla"):
+                             compute: str = "f32", sync_impl: str = "xla",
+                             probe_stage: str | None = None):
     """Fused device program with the factorized-DFT filterbank channelizer
     (ops.channelizer.pfb_tables): all tbl raster bins via two small
     matmuls + twiddle, O(a+b) per output vs the dft impl's O(C)."""
@@ -355,16 +402,19 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
                                  dfb, bins, a, b, compute=compute)
     # same compile-time fence as the dft wrapper (see there)
     y = jax.lax.optimization_barrier(jnp.stack([yr, yi], axis=-1))
+    if probe_stage == "channelize":
+        return y
     return _device_decode_packed(y, max_candidates, max_symbols, max_out,
                                  core_start=core_start, core_len=core_len,
-                                 compute=compute, sync_impl=sync_impl)
+                                 compute=compute, sync_impl=sync_impl,
+                                 probe_stage=probe_stage)
 
 
 _wideband_raw_decode_pfb_jit = jax.jit(
     _wideband_raw_decode_pfb,
     static_argnames=("a", "b", "p_in", "max_candidates", "max_symbols",
                      "max_out", "fmt", "core_start", "core_len", "compute",
-                     "sync_impl"),
+                     "sync_impl", "probe_stage"),
 )
 
 # samples per LO period -> raw array items per period, and the neutral pad
@@ -387,7 +437,12 @@ def stream_geometry(p_in: int, p_out: int, fs: int, max_symbols: int,
     HALO_LEFT); right halo one max burst window; total_p rounded up to
     align (Pallas ingest or mesh-shard granularity), absorbed into the
     right margin."""
-    lmarg_p = -(-160 // p_out)
+    from .parallel.sharding import HALO_LEFT
+
+    # the streaming left margin and the mesh shard halo must cover the
+    # same history (filter ring + sync window + hysteresis) or block
+    # edges would disagree between the streaming and sharded paths
+    lmarg_p = -(-HALO_LEFT // p_out)
     rmarg_p = -(-(24 + 8 * max_symbols) // p_out)
     core_p = max(1, int(block_seconds * fs) // p_in)
     total_p = lmarg_p + core_p + rmarg_p
@@ -465,7 +520,8 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
     )
 
 
-def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8"):
+def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
+                      probe_stage: str | None = None):
     """Chip-bound decode probe for benchmarking: returns (probe, raw_dev, t).
 
     probe(raw_dev, salts) runs len(salts) FULL decodes of the staged
@@ -503,22 +559,30 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8"):
                 r, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
                 ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
                 dc, ch._pfb_a, ch._pfb_b, ch.p_in, mc, ms, mo, fmt,
-                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
+                probe_stage=probe_stage)
         if ch.impl == "dft":
             return _wideband_raw_decode_dft(
                 r, ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask,
                 ch._dft_invlen, dc, ch.p_in, mc, ms, mo, fmt,
-                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+                compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
+                probe_stage=probe_stage)
         return _wideband_u8_decode(
             r, ch._lo_r, ch._lo_i, ph_r, ph_i, ch._a, dc, mc, ms, mo,
             pipe.cfg.use_pallas, fmt,
-            compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl)
+            compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
+            probe_stage=probe_stage)
 
     @jax.jit
     def probe(raw_dev, salts):
         def body(i, acc):
             r = raw_dev.at[0].add(salts[i])
             packed = one(r)
+            if probe_stage is not None:
+                # stage truncation: reduce whatever tensor the stage
+                # returned to one scalar (sum forces the whole stage)
+                return acc + packed.astype(jnp.float32).sum().astype(
+                    jnp.uint32)
             # checksum the bit-exact portions only: block bytes +
             # integer meta.  The float of/df meta words (7-8) round
             # differently across XLA program structures (a 1-trip loop
@@ -580,8 +644,14 @@ def burst_span_samples(consumed_bits: int, of: float) -> int:
 
 class Pipeline:
     def __init__(self, cfg: PipelineConfig):
+        import dataclasses
         import threading
 
+        # resolve auto fields (fc_hz, chan_impl) into a private copy: the
+        # caller's cfg keeps its declared intent, so reusing it to build a
+        # second Pipeline with edited freqs/fc re-resolves instead of
+        # inheriting the first resolution (ADVICE r4)
+        cfg = dataclasses.replace(cfg)
         self.cfg = cfg
         self.metrics = None              # optional PipelineMetrics sink
         self._overflow_warned = False
