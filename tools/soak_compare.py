@@ -43,11 +43,17 @@ TWO_PI = 2 * np.pi
 
 
 def synth(scenario: str, fs: int, fc: int, freqs: list[int], seconds: int,
-          rng, impair_ppm: float = 0.0, spread_db: float = 0.0):
+          rng, impair_ppm: float = 0.0, spread_db: float = 0.0,
+          truth: list | None = None):
     """Complex wideband capture + burst count.  Impairments are per
     burst: CFO uniform +-ppm of the RF channel, level uniform in
     [-spread_db, 0] above the base amplitude, random carrier phase and
-    fractional-sample timing."""
+    fractional-sample timing.
+
+    truth (optional list) receives one record per burst — channel index,
+    position/length at 84 kHz, and the drawn impairments — WITHOUT
+    consuming any extra rng draws, so a recorded run is sample-identical
+    to an unrecorded one (tools/ref_miss_analysis.py replays misses)."""
     total = fs * seconds
     total_bb = 84_000 * seconds
     wide = np.zeros(total, dtype=np.complex128)
@@ -63,20 +69,24 @@ def synth(scenario: str, fs: int, fc: int, freqs: list[int], seconds: int,
             )
             plan = mod.make_burst([content])
             if impair_ppm or spread_db:
-                burst = mod.synthesize_baseband(
-                    plan, start=0,
+                imp = dict(
                     cfo_hz=float(rng.uniform(-impair_ppm, impair_ppm)
                                  * f / 1e6),
                     phase0=float(rng.uniform(0, TWO_PI)),
                     timing_frac=float(rng.uniform(0, 1)),
                     amplitude=float(10 ** (rng.uniform(-spread_db, 0) / 20)),
                 )
+                burst = mod.synthesize_baseband(plan, start=0, **imp)
             else:
+                imp = {}
                 burst = mod.synthesize_baseband(plan, start=0)
             if pos + len(burst) > total_bb:
                 break
             bb[pos : pos + len(burst)] += burst
             n_tx += 1
+            if truth is not None:
+                truth.append({"ci": ci, "freq": f, "pos": pos,
+                              "len": len(burst), "text": txt, **imp})
             pos += len(burst) + int(rng.integers(3000, 20000))
         wide += mod.upsample_to_wideband(bb, fs, f - fc, total=total)
     return wide, n_tx
