@@ -126,33 +126,61 @@ def test_triggers_match_golden():
     assert np.asarray(df)[0, 0] == pytest.approx(gb.freq_offset, abs=1e-5)
 
 
-def test_find_triggers_chunked_topk_parity(monkeypatch):
-    """Past _TOPK_CHUNK_T time samples the earliest-K selection merges
-    per-chunk top-k winners (the whole-stream TopK's scoped-VMEM scratch
-    scales with T and overflows the TPU's 16 MB limit near T=350k at any
-    batch); the chunked path must pick the identical triggers, including
-    chunk-boundary and padded-tail positions."""
+def test_find_triggers_block_compaction_parity():
+    """The earliest-K selection compacts (C, T) to per-128-block minima
+    before the top_k (valid because suppression guarantees survivors are
+    >136 samples apart, so a block holds at most one).  Compare against a
+    brute-force numpy replay of the trigger/suppression/selection rules,
+    with planted triggers straddling 128-block seams, closer than the
+    137-sample suppression window, and in the padded tail."""
     from vdlm2dec_tpu.ops import demod as demod_mod
 
     rng = np.random.default_rng(11)
     c, t = 3, 4000
     err = rng.normal(size=(c, t)).astype(np.float32) + 10.0   # no triggers
     fr = rng.normal(size=(c, t)).astype(np.float32) * 1e-3
-    # plant dips that fire the hysteresis trigger at known odd positions,
-    # incl. ones adjacent to the 512-sample chunk seams and in the tail
-    spots = [(0, 201), (0, 511), (0, 513), (1, 1023), (1, 1025),
-             (2, 3901), (2, 3999), (0, 2047), (1, 2049)]
+    # plant dips that fire the hysteresis trigger at known odd positions:
+    # block-seam pairs (255/257, 511/513), a <137-gap pair (1023/1101 ->
+    # the second must be suppressed), and tail positions
+    spots = [(0, 201), (0, 255), (0, 257), (0, 511), (0, 513),
+             (1, 1023), (1, 1101), (1, 2049),
+             (2, 3901), (2, 3999)]
     for ci, tp in spots:
         err[ci, tp - 2] = 0.0          # e1 < threshold
         err[ci, tp] = 5.0              # e0 > e1
 
-    ref = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
-    monkeypatch.setattr(demod_mod, "_TOPK_CHUNK_T", 512)
-    chunked = demod_mod.find_triggers(jnp.asarray(err), jnp.asarray(fr), 4)
-    for a, b in zip(ref, chunked):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # sanity: the planted triggers actually fired
-    assert np.asarray(ref[3]).any()
+    k = 4
+    t0, of, df, valid = demod_mod.find_triggers(
+        jnp.asarray(err), jnp.asarray(fr), k)
+
+    # brute-force replay of the documented rules
+    e1 = np.pad(err, ((0, 0), (2, 0)))[:, :t]
+    trig = np.zeros((c, t), bool)
+    for ci in range(c):
+        for tp in range(150, t):
+            if tp % 2 and e1[ci, tp] < 4.0 and err[ci, tp] > e1[ci, tp]:
+                trig[ci, tp] = True
+    exp = []
+    for ci in range(c):
+        fired = np.nonzero(trig[ci])[0]
+        kept, last_any = [], -10**9
+        for tp in fired:
+            if tp - last_any > 136:
+                kept.append(tp)
+            last_any = tp              # ANY trigger suppresses followers
+        # invalid slots come back clamped to t-1 with valid=False
+        exp.append((kept[:k] + [t - 1] * k)[:k])
+    t0 = np.asarray(t0)
+    np.testing.assert_array_equal(t0, np.array(exp))
+    n_kept = sum(min(k, len([tp for tp in np.nonzero(trig[ci])[0]
+                             if _kept(np.nonzero(trig[ci])[0], tp)]))
+                 for ci in range(c))
+    assert np.asarray(valid).sum() == n_kept
+
+
+def _kept(fired, tp):
+    prevs = fired[fired < tp]
+    return len(prevs) == 0 or tp - prevs.max() > 136
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +261,28 @@ def test_rs_rows_match_golden():
     for i in range(len(rows)):
         assert got_counts[i] == want_counts[i], f"count mismatch @{i}"
         np.testing.assert_array_equal(got_rows[i], want_rows[i], err_msg=f"row {i}")
+
+
+def test_rs_bilinear_and_inverse_exhaustive():
+    """The gather-free Forney building blocks are exact over the WHOLE
+    field: _gfmul_bilinear against the mul LUT on all 65536 byte pairs,
+    and the inv table (inv[0] = 0) against a*inv(a) == 1."""
+    a = np.repeat(np.arange(256), 256).astype(np.int32)
+    b = np.tile(np.arange(256), 256).astype(np.int32)
+    mats = rs_fec._matrices()
+    got = np.asarray(rs_fec._gfmul_bilinear(
+        jnp.asarray(a), jnp.asarray(b[: len(a)]),
+        jnp.asarray(mats["bilin"])))
+    want = rs_fec._mul_table()[a * 256 + b]
+    np.testing.assert_array_equal(got, want)
+    inv = mats["inv"]
+    assert inv[0] == 0
+    x = np.arange(1, 256)
+    prod = rs_fec._mul_table()[x * 256 + inv[x]]
+    np.testing.assert_array_equal(prod, np.ones(255, np.int64))
+    lut = np.asarray(rs_fec._lut_lookup_onehot(
+        jnp.asarray(np.arange(256), dtype=jnp.int32), jnp.asarray(inv)))
+    np.testing.assert_array_equal(lut, inv)
 
 
 def test_rs_rows_uncorrectable_matches_golden():

@@ -163,6 +163,18 @@ def dft_tables(
     return w, np.maximum(idx, 0), mask, invlen
 
 
+def split_phase_index(idx: np.ndarray, p_in: int) -> np.ndarray:
+    """Remap per-period sample indices to the split-phase plane layout
+    [even samples | odd samples] that the fast cu8 ingest emits
+    (pipeline._raw_to_planes_split): position n lives at
+    (n >> 1) + (n & 1) * (p_in // 2).  Precomputed so the residue-space
+    gather consumes the split layout directly — the interleave that a
+    sample-ordered plane would need is a minor-dim relayout the TPU
+    runs at ~0.5 GB/s."""
+    assert p_in % 2 == 0
+    return ((idx >> 1) + (idx & 1) * (p_in // 2)).astype(idx.dtype)
+
+
 def resolve_chan_impl(
     f_offsets, fs: int, sdrclk: int, lo_wrap: bool = True,
     filter_mode: str = "boxcar", use_pallas: bool = False,
@@ -460,6 +472,9 @@ class Channelizer:
             self._w_r = jnp.asarray(np.ascontiguousarray(w.real))
             self._w_i = jnp.asarray(np.ascontiguousarray(w.imag))
             self._dft_idx = jnp.asarray(idx)
+            # same gather remapped for the split-phase cu8 ingest layout
+            self._dft_idx_split = jnp.asarray(
+                split_phase_index(idx, self.p_in))
             self._dft_mask = jnp.asarray(mask)
             self._dft_invlen = jnp.asarray(invlen)
         if impl == "pfb":

@@ -153,12 +153,28 @@ def _sync_scan_core(pad: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]
 # memory — and the remote compiler's appetite — stays bounded
 _SYNC_DENSE_LIMIT = 8_000_000
 _SYNC_CHUNK = 8192
-# The TopK custom-call's scoped-VMEM scratch grows with the TIME extent
-# alone (~60 B/sample regardless of batch: measured overflows at
-# (73, 358k) AND (8, 380k) against the 16 MB limit); past this many time
-# samples find_triggers merges per-time-chunk top-k winners instead of
-# one whole-stream call (scratch at 131072 ≈ 7.9 MB)
-_TOPK_CHUNK_T = 131_072
+
+
+def _prefix_count(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a (C, T) 0/1 int32 stream via a two-level
+    block decomposition: one (128, 128) lower-triangular MXU matmul for
+    the intra-block prefixes + a tiny cumsum of block totals.  The
+    direct jnp.cumsum over the long axis measured 7.8 ms per (8, 336k)
+    block on the chip (log-depth passes, each a full HBM round trip);
+    this is one matmul pass (~690 Mflop) + O(T/128) scalar work.  Exact:
+    counts stay far below 2^24 (f32 integer range)."""
+    c, t = x.shape
+    blk = 128
+    nb = -(-t // blk)
+    xp = jnp.pad(x, ((0, 0), (0, nb * blk - t))).astype(jnp.float32)
+    xb = xp.reshape(c, nb, blk)
+    tri = jnp.tril(jnp.ones((blk, blk), jnp.float32)).T   # [i, j] = i <= j
+    intra = jnp.einsum("cbi,ij->cbj", xb, tri,
+                       preferred_element_type=jnp.float32)
+    tot = intra[:, :, -1]
+    offs = jnp.cumsum(tot, axis=1) - tot                  # exclusive
+    out = (intra + offs[:, :, None]).astype(jnp.int32)
+    return out.reshape(c, nb * blk)[:, :t]
 
 
 def sync_scan(p0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -215,26 +231,32 @@ def find_triggers(
     trig = metric_pos[None, :] & (e1 < threshold) & (e0 > e1)
     # suppress re-triggers: the serial decoder leaves WSYNC at the first
     # trigger of a preamble, so later local minima within one sync window
-    # (17 symbols = 136 samples) never fire.  Windowed-OR via cumsum.
-    cnt = jnp.cumsum(trig.astype(jnp.int32), axis=1)
-    prev = jnp.pad(cnt, ((0, 0), (1, 0)))[:, :t]          # count up to t-1
+    # (17 symbols = 136 samples) never fire.  Windowed-OR via prefix
+    # counts (two-level MXU decomposition — see _prefix_count).
+    cnt = _prefix_count(trig.astype(jnp.int32))
+    prev = cnt - trig.astype(jnp.int32)                   # count up to t-1
     prev_far = jnp.pad(cnt, ((0, 0), (137, 0)))[:, :t]    # count up to t-137
     recent = (prev - prev_far) > 0
     trig = trig & ~recent
-    # earliest K trigger indices: top_k on negated positions (a full sort
-    # of the (C, T) stream costs tens of ms at block scale)
-    neg = jnp.where(trig, -tt[None, :], -(t + 1))
-    if t > _TOPK_CHUNK_T:
-        # per-time-chunk top-k then a merge over the (C, chunks*K) winners
-        # is exact (the global earliest K survive their own chunk)
-        s = max(_TOPK_CHUNK_T, max_candidates)
-        n_chunks = -(-t // s)
-        neg = jnp.pad(neg, ((0, 0), (0, n_chunks * s - t)),
-                      constant_values=-(t + 1))
-        part, _ = jax.lax.top_k(neg.reshape(c, n_chunks, s), max_candidates)
-        neg = part.reshape(c, n_chunks * max_candidates)
-    topv, _ = jax.lax.top_k(neg, max_candidates)
+    # earliest K triggers: surviving triggers are >136 samples apart (the
+    # suppression window), so every 128-sample block holds AT MOST ONE —
+    # a per-block min-reduce compacts (C, T) to (C, T/128) exactly, and
+    # the top_k runs on that.  This replaces the whole-stream TopK
+    # custom call, whose scoped-VMEM scratch grew with T (overflowed
+    # 16 MB near T~350k -> the old chunk-and-merge workaround, which
+    # itself measured 2x the cost of an unchunked call).
+    pos = jnp.where(trig, tt[None, :], t + 1)
+    blk = 128
+    nb = -(-t // blk)
+    posb = jnp.pad(pos, ((0, 0), (0, nb * blk - t)),
+                   constant_values=t + 1)
+    best = posb.reshape(c, nb, blk).min(axis=2)           # (C, nb)
+    k_eff = min(max_candidates, best.shape[1])
+    topv, _ = jax.lax.top_k(-best, k_eff)
     t0 = -topv            # descending neg -> ascending positions
+    if k_eff < max_candidates:
+        t0 = jnp.pad(t0, ((0, 0), (0, max_candidates - k_eff)),
+                     constant_values=t + 1)
     valid = t0 <= t
     t0c = jnp.minimum(t0, t - 1)
     ge2 = jnp.take_along_axis(e2, t0c, axis=1)

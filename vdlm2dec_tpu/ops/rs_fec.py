@@ -51,20 +51,44 @@ def _matrices() -> dict[str, np.ndarray]:
         syn[a::8, :] = bits.transpose(1, 0, 2).reshape(RS_N, 48)
     out["syn"] = syn
 
-    def eval_matrix(degrees: list[int]) -> np.ndarray:
-        """coef bit (d_idx, a) -> value bit (q, b) for sum_d c_d alpha^{d*i}."""
+    def eval_matrix(degrees: list[int],
+                    pos_factor: np.ndarray | None = None) -> np.ndarray:
+        """coef bit (d_idx, a) -> value bit (q, b) for sum_d c_d alpha^{d*i};
+        pos_factor (255,) GF values additionally multiply column q —
+        folding a per-position constant into the bit-linear map costs
+        nothing at runtime."""
         m = np.zeros((len(degrees) * 8, RS_N * 8), dtype=np.float32)
         for di, d in enumerate(degrees):
             alpha_d = _EXPN[(d * q1) % 255]            # (255,)
+            if pos_factor is not None:
+                alpha_d = _gfmul_np(alpha_d, pos_factor)
             for a in range(8):
                 val = _gfmul_np(np.full_like(alpha_d, 1 << a), alpha_d)
                 m[di * 8 + a, :] = _bits_of(val).reshape(-1)
         return m
 
     out["chien"] = eval_matrix([1, 2, 3, 4, 5, 6])     # lambda_1..6
-    out["omega"] = eval_matrix([0, 1, 2, 3, 4, 5])     # omega_0..5
+    num2 = _EXPN[((q1 * (RS_FCR - 1)) + RS_N) % 255].astype(np.int32)
+    # omega eval with the Forney num2 = alpha^{q(FCR-1)+N} constant folded
+    # into the matrix: num12(q) = omega(alpha^..., q) * num2(q) comes out
+    # of the SAME matmul that used to produce num1 alone
+    out["omega12"] = eval_matrix([0, 1, 2, 3, 4, 5], pos_factor=num2)
     out["den"] = eval_matrix([0, 2, 4])                # lambda_1,3,5 at even i
-    out["num2"] = _EXPN[((q1 * (RS_FCR - 1)) + RS_N) % 255].astype(np.int32)
+
+    # GF(2^8) inverse table with inv[0] = 0: the bilinear product then
+    # yields 0 wherever den == 0 or num == 0, matching the old where()
+    inv = np.zeros(256, dtype=np.int32)
+    inv[1:] = _EXPN[(255 - _LOGN[np.arange(1, 256)]) % 255]
+    out["inv"] = inv
+
+    # bilinear GF multiply reduction: bit i of a times bit j of b lands on
+    # the bits of alpha^{i+j} (mod the field polynomial)
+    red = np.zeros((64, 8), dtype=np.float32)
+    for i in range(8):
+        for j in range(8):
+            red[i * 8 + j, :] = _bits_of(
+                _gfmul_np(np.array(1 << i), np.array(1 << j))).reshape(-1)
+    out["bilin"] = red
 
     # erasure-locator init per class: 0 none, 1 = {253,254}, 2 = {251..254}
     lam_init = np.zeros((3, RS_ROOTS + 1), dtype=np.int32)
@@ -118,6 +142,33 @@ def _gfmul_lut(a: jnp.ndarray, b: jnp.ndarray, mul) -> jnp.ndarray:
     return mul[a * 256 + b]
 
 
+def _lut_lookup_onehot(x: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """256-entry LUT lookup as a one-hot matmul.  On TPU a large dynamic
+    gather runs ~3x slower than building the one-hot and letting the MXU
+    do the select (measured 11.9 vs 4.1 ms per 1M lookups, r5 micro
+    probes); bf16 is exact here (LUT values <= 255 < 2^8 mantissa)."""
+    oh = (x[..., None] == jnp.arange(256, dtype=x.dtype)).astype(
+        jnp.bfloat16)
+    v = jnp.dot(oh.reshape(-1, 256), lut.astype(jnp.bfloat16)[:, None],
+                preferred_element_type=jnp.float32)
+    return v.reshape(x.shape).astype(jnp.int32)
+
+
+def _gfmul_bilinear(a: jnp.ndarray, b: jnp.ndarray,
+                    red: jnp.ndarray) -> jnp.ndarray:
+    """GF(2^8) product of two same-shape byte tensors WITHOUT table
+    gathers: outer product of the operand bits, reduced by the constant
+    (64, 8) alpha^{i+j} bit matrix, mod-2."""
+    ab = ((a[..., None] >> jnp.arange(8)) & 1)
+    bb = ((b[..., None] >> jnp.arange(8)) & 1)
+    o = (ab[..., :, None] * bb[..., None, :]).reshape(a.shape + (64,))
+    acc = jnp.dot(o.reshape(-1, 64).astype(jnp.float32), red,
+                  preferred_element_type=jnp.float32)
+    cb = acc.astype(jnp.int32) & 1
+    return _pack_bytes(cb.reshape(a.shape + (8,)).reshape(
+        a.shape[:-1] + (a.shape[-1] * 8,)))
+
+
 @functools.partial(jax.jit)
 def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of RS rows.
@@ -139,7 +190,6 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
     sbits = _mod2_matmul(dbits, jnp.asarray(mats["syn"]))
     s = _pack_bytes(sbits)                              # (M, 6)
     syn_zero = jnp.all(s == 0, axis=1)
-    s_log = log[s]
 
     # ---- Berlekamp-Massey, erasure-initialised, 6 static steps ----
     lam = jnp.asarray(mats["lam_init"])[eras_class]     # (M, 7) GF values
@@ -178,7 +228,6 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
         b = jnp.where(active[:, None], b_new, b)
         el = jnp.where(active & ~dz, el_new, el)
 
-    lam_log = log[lam]
     idx7 = jnp.arange(RS_ROOTS + 1)
     deg_lambda = jnp.max(jnp.where(lam != 0, idx7[None, :], 0), axis=1)
 
@@ -199,18 +248,20 @@ def rs_decode_rows(rows: jnp.ndarray, eras_class: jnp.ndarray) -> tuple[jnp.ndar
     omega = jnp.stack(omega, axis=1)                    # (M, 6)
 
     # ---- Forney over all positions (two MXU matmuls) ----
+    # num12 = omega(alpha^{-q}) * num2(q) in ONE matmul (num2 folded into
+    # the eval matrix); magnitude = num12 * inv(den) via a one-hot
+    # inverse lookup + a bilinear bit product.  The former formulation's
+    # three (M, 255) log/exp gathers were the single hottest piece of
+    # the RS stage on chip (~12 ms per 1M-element gather, r5 probes);
+    # inv[0] = 0 makes the product vanish exactly where the old where()
+    # masked num==0 or den==0.
     obits = ((omega[:, :, None] >> jnp.arange(8)) & 1).reshape(m, 48)
-    num1 = _pack_bytes(_mod2_matmul(obits, jnp.asarray(mats["omega"])))
+    num12 = _pack_bytes(_mod2_matmul(obits, jnp.asarray(mats["omega12"])))
     lodd = lam[:, 1::2]                                 # lambda_1,3,5
     dbits2 = ((lodd[:, :, None] >> jnp.arange(8)) & 1).reshape(m, 24)
     den = _pack_bytes(_mod2_matmul(dbits2, jnp.asarray(mats["den"])))
-    num2 = jnp.asarray(mats["num2"])[None, :]           # (1, 255)
-
-    mag = jnp.where(
-        (num1 != 0) & (den != 0),
-        exp[(log[num1] + log[num2] + 255 - log[den]) % 255],
-        0,
-    )
+    inv_den = _lut_lookup_onehot(den, jnp.asarray(mats["inv"]))
+    mag = _gfmul_bilinear(num12, inv_den, jnp.asarray(mats["bilin"]))
 
     # Forney failure semantics (rs.c:257-283): the reference walks roots from
     # the highest position down and bails at the first den==0, so corrections

@@ -288,6 +288,27 @@ def _raw_to_planes(raw, fmt: str, dc_offset, p_in: int):
     return x[0::2].reshape(-1, p_in), x[1::2].reshape(-1, p_in)
 
 
+def _raw_to_planes_split(raw, dc_offset, p_in: int):
+    """cu8 -> (x_r, x_i) f32 planes in SPLIT-PHASE layout
+    [even samples | odd samples] per period row.
+
+    Bitcasting FOUR u8s to one native i32 (re0,im0,re1,im1) keeps every
+    op 32-bit: the u16 intermediate of the pair-bitcast costs ~15 ms per
+    8M-sample block just in the 16->32-bit unpack (r5 micro probes),
+    while i32 shifts/masks + the f32 convert run at bandwidth.  The
+    layout permutation is absorbed by the consumer's gather indices
+    (ops.channelizer.split_phase_index) — never materialized."""
+    w = jax.lax.bitcast_convert_type(raw.reshape(-1, 4), jnp.int32)
+    re0 = (w & 0xFF).astype(jnp.float32) - dc_offset
+    im0 = ((w >> 8) & 0xFF).astype(jnp.float32) - dc_offset
+    re1 = ((w >> 16) & 0xFF).astype(jnp.float32) - dc_offset
+    im1 = ((w >> 24) & 0xFF).astype(jnp.float32) - dc_offset
+    h = p_in // 2
+    x_r = jnp.concatenate([re0.reshape(-1, h), re1.reshape(-1, h)], axis=1)
+    x_i = jnp.concatenate([im0.reshape(-1, h), im1.reshape(-1, h)], axis=1)
+    return x_r, x_i
+
+
 def _wideband_u8_decode(raw, lo_r, lo_i, ph_r, ph_i, a, dc_offset,
                         max_candidates: int, max_symbols: int, max_out: int,
                         use_pallas: bool = False, fmt: str = "cu8",
@@ -362,7 +383,12 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
     (C, B, P_in) intermediate — the path that scales to the whole band."""
     from .ops.channelizer import _channelize_dft_jit
 
-    x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
+    # NB for cu8 the caller passes the SPLIT-PHASE gather table
+    # (ch._dft_idx_split) to match _raw_to_planes_split's plane layout
+    if fmt == "cu8":
+        x_r, x_i = _raw_to_planes_split(raw, dc_offset, p_in)
+    else:
+        x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
     yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
                                  compute=compute)
     # fence the residue-space gather out of the sync-scan fusion: without
@@ -397,7 +423,11 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
     matmuls + twiddle, O(a+b) per output vs the dft impl's O(C)."""
     from .ops.channelizer import _channelize_pfb_jit
 
-    x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
+    # cu8: split-phase ingest + matching gather table (see dft wrapper)
+    if fmt == "cu8":
+        x_r, x_i = _raw_to_planes_split(raw, dc_offset, p_in)
+    else:
+        x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
     yr, yi = _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw,
                                  dfb, bins, a, b, compute=compute)
     # same compile-time fence as the dft wrapper (see there)
@@ -470,10 +500,12 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
         ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
     )
     ch._period_cursor += b
+    if ch.impl in ("dft", "pfb"):
+        dft_idx = ch._dft_idx_split if fmt == "cu8" else ch._dft_idx
     if ch.impl == "pfb":
         return _wideband_raw_decode_pfb_jit(
             jnp.asarray(raw[: per * t]),
-            ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+            dft_idx, ch._dft_mask, ch._dft_invlen,
             ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
             jnp.float32(RTL_DC_OFFSET),
             ch._pfb_a, ch._pfb_b, ch.p_in,
@@ -489,7 +521,7 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
     if ch.impl == "dft":
         return _wideband_raw_decode_dft_jit(
             jnp.asarray(raw[: per * t]),
-            ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+            ch._w_r, ch._w_i, dft_idx, ch._dft_mask, ch._dft_invlen,
             jnp.float32(RTL_DC_OFFSET),
             ch.p_in,
             pipe.cfg.max_candidates,
@@ -553,17 +585,20 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
     mc, ms, mo = (pipe.cfg.max_candidates, pipe.cfg.max_symbols,
                   pipe._max_out())
 
+    dft_idx = (None if ch.impl == "matmul"
+               else (ch._dft_idx_split if fmt == "cu8" else ch._dft_idx))
+
     def one(r):
         if ch.impl == "pfb":
             return _wideband_raw_decode_pfb(
-                r, ch._dft_idx, ch._dft_mask, ch._dft_invlen,
+                r, dft_idx, ch._dft_mask, ch._dft_invlen,
                 ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
                 dc, ch._pfb_a, ch._pfb_b, ch.p_in, mc, ms, mo, fmt,
                 compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
                 probe_stage=probe_stage)
         if ch.impl == "dft":
             return _wideband_raw_decode_dft(
-                r, ch._w_r, ch._w_i, ch._dft_idx, ch._dft_mask,
+                r, ch._w_r, ch._w_i, dft_idx, ch._dft_mask,
                 ch._dft_invlen, dc, ch.p_in, mc, ms, mo, fmt,
                 compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
                 probe_stage=probe_stage)
