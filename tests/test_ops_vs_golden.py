@@ -346,3 +346,49 @@ def test_sync_scan_chunked_matches_dense():
         # (FMA/reassociation ~3e-5 rel on the closed-form residual)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_dft_qr_matches_gather_formulation():
+    """The gather-free (B,Q,tbl) x (Q,tbl,84) residue contraction computes
+    the same products as the original residue-space gather (each (r, m)
+    cell has exactly one contributing q), in both sample-ordered and
+    split-phase layouts."""
+    import jax.numpy as jnp
+
+    from vdlm2dec_tpu.ops import channelizer as ch
+
+    fo = tuple(float(-75_000 + 50_000 * i) for i in range(4))
+    fs, sdrclk = 2_000_000, 500
+    p_in, _ = ch.period_for(sdrclk)
+    rng = np.random.default_rng(9)
+    b = 6
+    xr = rng.normal(size=(b, p_in)).astype(np.float32)
+    xi = rng.normal(size=(b, p_in)).astype(np.float32)
+
+    w, idx, mask, invlen = ch.dft_tables(fo, fs, sdrclk)
+    ref = ch._channelize_dft_jit(
+        jnp.asarray(xr), jnp.asarray(xi),
+        jnp.asarray(w.real.copy()), jnp.asarray(w.imag.copy()),
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(invlen))
+
+    wq, a2 = ch.dft_qr_tables(fo, fs, sdrclk, False)
+    got = ch._channelize_dft_qr_jit(
+        jnp.asarray(xr), jnp.asarray(xi),
+        jnp.asarray(wq.real.copy()), jnp.asarray(wq.imag.copy()),
+        jnp.asarray(a2))
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+    # split-phase: planes re-ordered [evens | odds], same output
+    h = p_in // 2
+    xr_s = np.concatenate([xr[:, 0::2], xr[:, 1::2]], axis=1)
+    xi_s = np.concatenate([xi[:, 0::2], xi[:, 1::2]], axis=1)
+    ws, a2s = ch.dft_qr_tables(fo, fs, sdrclk, True)
+    got_s = ch._channelize_dft_qr_jit(
+        jnp.asarray(xr_s), jnp.asarray(xi_s),
+        jnp.asarray(ws.real.copy()), jnp.asarray(ws.imag.copy()),
+        jnp.asarray(a2s), split=True)
+    for g, r in zip(got_s, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)

@@ -163,6 +163,103 @@ def dft_tables(
     return w, np.maximum(idx, 0), mask, invlen
 
 
+@functools.lru_cache(maxsize=32)
+def dft_qr_tables(f_offsets: tuple[float, ...], fs: int, sdrclk: int,
+                  split: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Residue-space channelizer as TWO matmuls, no gather.
+
+    p_in = (p_in/tbl) * tbl always holds (25 at every supported rate),
+    so x reshapes losslessly to (B, Q, tbl) with residue r as the minor
+    axis, and the residue-space tensor becomes a batched contraction
+    over Q instead of a 27M-element gather (TPU gathers run ~12 ms per
+    1M elements; this einsum is ~2.7 Gflop on the MXU):
+
+        z[b, r, m] = sum_q x2[b, q, r] * A2[q, r, m]
+
+    with A2[q, r, owner(q*tbl+r)] = invlen — at most one nonzero m per
+    (q, r), so the products are EXACTLY the wrapped-LO mix+dump's.
+
+    split=True permutes the r axis to the split-phase cu8 ingest layout
+    (ops: even samples then odd samples — position n at plane column
+    n>>1 (+ half for odd), which maps residue r to column r>>1 +
+    (r&1)*tbl/2 within each Q-row).  Returns (w (C, tbl) complex64 with
+    the SAME r permutation, A2 (Q, tbl, p_out) float32)."""
+    p_in, p_out = period_for(sdrclk)
+    tbl = fs // STEPRATE
+    assert p_in % tbl == 0
+    q_n = p_in // tbl
+    owner = (21 * np.arange(p_in)) // sdrclk
+    counts = np.bincount(owner, minlength=p_out)
+    invlen = 1.0 / counts
+    a2 = np.zeros((q_n, tbl, p_out), dtype=np.float64)
+    for n in range(p_in):
+        q, r = n // tbl, n % tbl
+        a2[q, r, owner[n]] = invlen[owner[n]]
+    fo = np.asarray(f_offsets, dtype=np.float64)[:, None]
+    w = np.exp(-1j * TWO_PI * fo / fs * np.arange(tbl)[None, :])
+    if split:
+        assert tbl % 2 == 0
+        # column k of the split x2 row holds residue rho(k):
+        # even k' <- r = 2k', k' + tbl/2 <- r = 2k'+1
+        rho = np.concatenate([2 * np.arange(tbl // 2),
+                              2 * np.arange(tbl // 2) + 1])
+        a2 = a2[:, rho, :]
+        w = w[:, rho]
+    return w.astype(np.complex64), a2.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("split", "compute"))
+def _channelize_dft_qr_jit(x_r, x_i, w_r, w_i, a2, split: bool = False,
+                           compute="f32"):
+    """Gather-free residue-space channelize: x (B, P_in) planes (sample
+    order, or split-phase order with split=True + matching a2/w) ->
+    (C, B*84) planes.
+
+    split layout note: each true q-row holds its 40 even samples in the
+    first plane half and its 40 odd in the second, so the halves
+    reshape to (B, Q, tbl/2) SEPARATELY and contract against the even/
+    odd halves of a2, summing the two partial z's — no residue-axis
+    concat (a minor-dim concat would relayout) and no reshape of the
+    whole split plane (which would mix q pairs)."""
+    b = x_r.shape[0]
+    q_n, tbl, p_out = a2.shape
+    dt, prec = mm_mode(compute)
+    a2 = a2.astype(dt)
+
+    def z_of(x):
+        if split:
+            h = x.shape[1] // 2
+            ze = jnp.einsum("bqr,qrm->brm",
+                            x[:, :h].reshape(b, q_n, tbl // 2).astype(dt),
+                            a2[:, : tbl // 2],
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            zo = jnp.einsum("bqr,qrm->brm",
+                            x[:, h:].reshape(b, q_n, tbl // 2).astype(dt),
+                            a2[:, tbl // 2:],
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            return jnp.concatenate([ze, zo], axis=1)
+        return jnp.einsum("bqr,qrm->brm", x.reshape(b, q_n, tbl).astype(dt),
+                          a2, preferred_element_type=jnp.float32,
+                          precision=prec)
+
+    zr = z_of(x_r)
+    zi = z_of(x_i)
+    zr, zi = zr.astype(dt), zi.astype(dt)
+    w_r, w_i = w_r.astype(dt), w_i.astype(dt)
+    yr = (jnp.einsum("cr,brm->cbm", w_r, zr,
+                     preferred_element_type=jnp.float32, precision=prec)
+          - jnp.einsum("cr,brm->cbm", w_i, zi,
+                       preferred_element_type=jnp.float32, precision=prec))
+    yi = (jnp.einsum("cr,brm->cbm", w_r, zi,
+                     preferred_element_type=jnp.float32, precision=prec)
+          + jnp.einsum("cr,brm->cbm", w_i, zr,
+                       preferred_element_type=jnp.float32, precision=prec))
+    c = yr.shape[0]
+    return yr.reshape(c, -1), yi.reshape(c, -1)
+
+
 def split_phase_index(idx: np.ndarray, p_in: int) -> np.ndarray:
     """Remap per-period sample indices to the split-phase plane layout
     [even samples | odd samples] that the fast cu8 ingest emits
@@ -477,6 +574,15 @@ class Channelizer:
                 split_phase_index(idx, self.p_in))
             self._dft_mask = jnp.asarray(mask)
             self._dft_invlen = jnp.asarray(invlen)
+        if impl == "dft":
+            # gather-free two-matmul formulation, ordered + split layouts
+            for suffix, sp in (("", False), ("_s", True)):
+                wq, a2 = dft_qr_tables(self.f_offsets, fs, self.sdrclk, sp)
+                setattr(self, f"_qr_w_r{suffix}",
+                        jnp.asarray(np.ascontiguousarray(wq.real)))
+                setattr(self, f"_qr_w_i{suffix}",
+                        jnp.asarray(np.ascontiguousarray(wq.imag)))
+                setattr(self, f"_qr_a2{suffix}", jnp.asarray(a2))
         if impl == "pfb":
             a, b, dfa, tw, dfb, bins = pfb_tables(
                 self.f_offsets, fs, self.sdrclk)
@@ -563,9 +669,8 @@ class Channelizer:
             )
         if self.impl == "dft":
             # lo_wrap=True: the per-period phase is exactly 1, so ph drops
-            return _channelize_dft_jit(
-                x_r, x_i, self._w_r, self._w_i,
-                self._dft_idx, self._dft_mask, self._dft_invlen,
+            return _channelize_dft_qr_jit(
+                x_r, x_i, self._qr_w_r, self._qr_w_i, self._qr_a2,
                 compute=self.compute,
             )
         ph_r = jnp.asarray(np.ascontiguousarray(ph.real))

@@ -369,7 +369,7 @@ _wideband_u8_decode_jit = jax.jit(
 )
 
 
-def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
+def _wideband_raw_decode_dft(raw, w_r, w_i, a2, dc_offset,
                              p_in: int, max_candidates: int,
                              max_symbols: int, max_out: int,
                              fmt: str = "cu8",
@@ -377,20 +377,22 @@ def _wideband_raw_decode_dft(raw, w_r, w_i, idx, mask, invlen, dc_offset,
                              compute: str = "f32", sync_impl: str = "xla",
                              probe_stage: str | None = None):
     """Fused device program with the residue-space channelizer: native raw
-    IQ -> gather into (B, tbl, 84) residue space -> one (C, tbl) matmul ->
-    decode.  Same products as the wrapped-LO mix+dump (see
-    ops.channelizer.dft_tables) but O(tbl) per output sample and no
-    (C, B, P_in) intermediate — the path that scales to the whole band."""
-    from .ops.channelizer import _channelize_dft_jit
+    IQ -> batched (B, Q, tbl) x (Q, tbl, 84) contraction into residue
+    space -> one (C, tbl) matmul -> decode.  Same products as the
+    wrapped-LO mix+dump (see ops.channelizer.dft_qr_tables) but O(tbl)
+    per output sample, no (C, B, P_in) intermediate and no gather — the
+    path that scales to the whole band.
 
-    # NB for cu8 the caller passes the SPLIT-PHASE gather table
-    # (ch._dft_idx_split) to match _raw_to_planes_split's plane layout
+    For cu8 the split-phase ingest is used and the caller passes the
+    split-layout (w, a2) tables (ch._qr_*_s)."""
+    from .ops.channelizer import _channelize_dft_qr_jit
+
     if fmt == "cu8":
         x_r, x_i = _raw_to_planes_split(raw, dc_offset, p_in)
     else:
         x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
-    yr, yi = _channelize_dft_jit(x_r, x_i, w_r, w_i, idx, mask, invlen,
-                                 compute=compute)
+    yr, yi = _channelize_dft_qr_jit(x_r, x_i, w_r, w_i, a2,
+                                    split=(fmt == "cu8"), compute=compute)
     # fence the residue-space gather out of the sync-scan fusion: without
     # it the remote compiler takes 10-29 min on full-burst-window shapes
     # (max_symbols 5456, T~380k) where the matmul channelizer takes ~5
@@ -500,7 +502,7 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
         ch.f_offsets, ch.fs, ch.sdrclk, ch.lo_wrap, b, ch._period_cursor
     )
     ch._period_cursor += b
-    if ch.impl in ("dft", "pfb"):
+    if ch.impl == "pfb":
         dft_idx = ch._dft_idx_split if fmt == "cu8" else ch._dft_idx
     if ch.impl == "pfb":
         return _wideband_raw_decode_pfb_jit(
@@ -519,9 +521,11 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
             sync_impl=pipe.cfg.sync_impl,
         )
     if ch.impl == "dft":
+        s = "_s" if fmt == "cu8" else ""
         return _wideband_raw_decode_dft_jit(
             jnp.asarray(raw[: per * t]),
-            ch._w_r, ch._w_i, dft_idx, ch._dft_mask, ch._dft_invlen,
+            getattr(ch, f"_qr_w_r{s}"), getattr(ch, f"_qr_w_i{s}"),
+            getattr(ch, f"_qr_a2{s}"),
             jnp.float32(RTL_DC_OFFSET),
             ch.p_in,
             pipe.cfg.max_candidates,
@@ -585,8 +589,12 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
     mc, ms, mo = (pipe.cfg.max_candidates, pipe.cfg.max_symbols,
                   pipe._max_out())
 
-    dft_idx = (None if ch.impl == "matmul"
-               else (ch._dft_idx_split if fmt == "cu8" else ch._dft_idx))
+    dft_idx = (ch._dft_idx_split if fmt == "cu8" else ch._dft_idx) \
+        if ch.impl == "pfb" else None
+    qr = None
+    if ch.impl == "dft":
+        s = "_s" if fmt == "cu8" else ""
+        qr = tuple(getattr(ch, f"_qr_{n}{s}") for n in ("w_r", "w_i", "a2"))
 
     def one(r):
         if ch.impl == "pfb":
@@ -598,8 +606,7 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
                 probe_stage=probe_stage)
         if ch.impl == "dft":
             return _wideband_raw_decode_dft(
-                r, ch._w_r, ch._w_i, dft_idx, ch._dft_mask,
-                ch._dft_invlen, dc, ch.p_in, mc, ms, mo, fmt,
+                r, qr[0], qr[1], qr[2], dc, ch.p_in, mc, ms, mo, fmt,
                 compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
                 probe_stage=probe_stage)
         return _wideband_u8_decode(
