@@ -788,7 +788,8 @@ def main():
                          " bit-identical; dft/matmul/pfb force one impl")
     ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
                     help="bf16 mix/filter matmuls (f32 accumulation)")
-    ap.add_argument("--sync-impl", default="xla", choices=["xla", "fused"],
+    ap.add_argument("--sync-impl", default="xla",
+                    choices=["xla", "stream", "fused"],
                     help="fused = Pallas filter+sync kernel + inline demod"
                          " filtering (no materialized polyphase tensor)")
     ap.add_argument("--no-scale-configs", dest="scale", action="store_false",

@@ -50,7 +50,7 @@ def test_fused_frame_parity(chan_impl, compute):
     wide, freqs, fc, truth = B.make_capture(2_000_000, 8, 2.0)
     raw = B.to_u8(wide)
     got = {}
-    for sync_impl in ("xla", "fused"):
+    for sync_impl in ("xla", "fused", "stream"):
         cfg = PipelineConfig(
             freqs_hz=[float(f) for f in freqs], fs=2_000_000,
             fc_hz=float(fc), lo_wrap=True, chan_impl=chan_impl,
@@ -60,6 +60,9 @@ def test_fused_frame_parity(chan_impl, compute):
         got[sync_impl] = _frames(Pipeline(cfg), raw)
     assert got["xla"] == sorted((c, b) for c, b, *_ in truth)
     assert got["fused"] == got["xla"]
+    # "stream" = branch-0-only filter + streaming sync + inline demod:
+    # identical frames to both other paths
+    assert got["stream"] == got["xla"]
 
 
 def test_fused_streaming_matches_one_shot():

@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="boxcar = reference-parity integrate-and-dump; "
                         "fir = windowed-sinc with >60 dB adjacent-channel "
                         "rejection")
-    p.add_argument("--sync-impl", default="xla", choices=["xla", "fused"],
+    p.add_argument("--sync-impl", default="xla",
+                   choices=["xla", "stream", "fused"],
                    help="fused: Pallas filter+sync kernel + inline demod "
                         "filtering (the polyphase tensor never exists in "
                         "HBM; frame-parity tested)")

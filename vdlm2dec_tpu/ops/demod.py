@@ -104,6 +104,31 @@ def polyphase_filter(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
     return out.reshape(c, 2, 4, t).transpose(0, 2, 3, 1)
 
 
+def polyphase_filter0(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
+    """(C, T, 2) re/im -> (C, T, 2): polyphase BRANCH 0 only.
+
+    The sync metric consumes only the branch-0 filter output (the ring
+    ending at each sample), so the sync path can skip 3/4 of the filter
+    work and never materialize the (C, 4, T, 2) tensor — used by
+    sync_impl="stream" where the demod filters its own windows inline."""
+    c, t, _ = y.shape
+    taps = jnp.asarray(_POLY32[:1])               # (1, 17)
+    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))
+    sig = yp.transpose(0, 2, 1).reshape(c * 2, 1, t + 16).astype(jnp.float32)
+    kern = taps[:, None, :].astype(jnp.float32)
+    if compute == "bf16":
+        sig = sig.astype(jnp.bfloat16)
+        kern = kern.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    out = jax.lax.conv_general_dilated(
+        sig, kern, window_strides=(1,), padding="VALID",
+        precision=prec, preferred_element_type=jnp.float32,
+    )                                             # (C*2, 1, T)
+    return out.reshape(c, 2, t).transpose(0, 2, 1)
+
+
 def phase_of(f: jnp.ndarray) -> jnp.ndarray:
     """atan2 phase of a (..., 2) re/im array."""
     return jnp.arctan2(f[..., 1], f[..., 0])

@@ -91,7 +91,13 @@ class PipelineConfig:
                                            # kernel + inline per-candidate
                                            # filtering — the (C,4,T,2)
                                            # polyphase tensor never exists
-                                           # in HBM (ops/pallas_sync.py)
+                                           # in HBM (ops/pallas_sync.py).
+                                           # "stream": branch-0-only XLA
+                                           # filter + the running-sum sync
+                                           # core + inline demod — same
+                                           # no-big-tensor property, and
+                                           # the r5 sync rewrite made XLA
+                                           # outrun the Pallas kernel
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
@@ -147,6 +153,17 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
 
         f = None
         err, fr = sync_scan_pallas(y)
+    elif sync_impl == "stream":
+        # XLA streaming sync: the metric needs only polyphase BRANCH 0
+        # (the ring ending at each sample), so filter one branch —
+        # (C, T, 2), a quarter of the full tensor — feed the running-sum
+        # sync core, and demod inline like the fused path.  No Pallas,
+        # no (C,4,T,2) tensor: the r5 sync-core rewrite made XLA beat
+        # the hand-written kernel (1.5 ms vs 32 ms at the band shape).
+        from .ops.demod import polyphase_filter0
+
+        f = None
+        err, fr = sync_scan(phase_of(polyphase_filter0(y, compute=compute)))
     else:
         f = polyphase_filter(y, compute=compute)
         if probe_stage == "filter":
