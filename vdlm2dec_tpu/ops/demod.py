@@ -73,35 +73,23 @@ def polyphase_filter(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
     The whole device pipeline is complex-free: filtering acts on the re/im
     planes independently.
 
-    compute="bf16" feeds the MXU bfloat16 operands with f32 accumulation
-    (1 MXU pass instead of HIGHEST's 3): ~0.4% amplitude error on the
-    filtered samples, which the sync metric and the soft-bit slicer absorb
-    (frame-parity tested); the exact stages (header trellis input is the
-    Gray-table output, RS, CRC) are unaffected by design.
-    """
+    Implemented as 17 static-slice multiply-adds (out[t] = sum_j
+    y[t-16+j] * taps[:, j], matching filteredphase d8psk.c:219-230) —
+    one fused elementwise pass, always f32.  The former
+    conv_general_dilated lowering took 7.3 ms per 8M-sample block for
+    0.73 Gflop of work (r5 stage probes); `compute` is kept for
+    signature compatibility but the slice form needs no precision knob
+    (it never touches the MXU)."""
+    del compute
     c, t, _ = y.shape
-    taps = jnp.asarray(_POLY32)                   # (4, 17)
-    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))
-    # conv_general_dilated correlates (no kernel flip):
-    # out[t] = sum_j sig[t+j] * taps[j] — the ring y[t-16..t] oldest-first,
-    # matching filteredphase.  re/im fold into the batch dim.
-    sig = yp.transpose(0, 2, 1).reshape(c * 2, 1, t + 16).astype(jnp.float32)
-    kern = taps[:, None, :].astype(jnp.float32)
-    if compute == "bf16":
-        sig = sig.astype(jnp.bfloat16)
-        kern = kern.astype(jnp.bfloat16)
-        prec = jax.lax.Precision.DEFAULT
-    else:
-        prec = jax.lax.Precision.HIGHEST          # full-f32 on the MXU
-    out = jax.lax.conv_general_dilated(
-        sig,
-        kern,
-        window_strides=(1,),
-        padding="VALID",
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )                                             # (C*2, 4, T)
-    return out.reshape(c, 2, 4, t).transpose(0, 2, 3, 1)
+    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0))).astype(jnp.float32)
+    acc = [None] * 4
+    for j in range(17):
+        seg = yp[:, j : j + t, :]
+        for phi in range(4):
+            term = _POLY32[phi, j] * seg
+            acc[phi] = term if acc[phi] is None else acc[phi] + term
+    return jnp.stack(acc, axis=1)                 # (C, 4, T, 2)
 
 
 def polyphase_filter0(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
@@ -110,23 +98,16 @@ def polyphase_filter0(y: jnp.ndarray, compute: str = "f32") -> jnp.ndarray:
     The sync metric consumes only the branch-0 filter output (the ring
     ending at each sample), so the sync path can skip 3/4 of the filter
     work and never materialize the (C, 4, T, 2) tensor — used by
-    sync_impl="stream" where the demod filters its own windows inline."""
+    sync_impl="stream" where the demod filters its own windows inline.
+    Same 17-slice multiply-add form as polyphase_filter."""
+    del compute
     c, t, _ = y.shape
-    taps = jnp.asarray(_POLY32[:1])               # (1, 17)
-    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0)))
-    sig = yp.transpose(0, 2, 1).reshape(c * 2, 1, t + 16).astype(jnp.float32)
-    kern = taps[:, None, :].astype(jnp.float32)
-    if compute == "bf16":
-        sig = sig.astype(jnp.bfloat16)
-        kern = kern.astype(jnp.bfloat16)
-        prec = jax.lax.Precision.DEFAULT
-    else:
-        prec = jax.lax.Precision.HIGHEST
-    out = jax.lax.conv_general_dilated(
-        sig, kern, window_strides=(1,), padding="VALID",
-        precision=prec, preferred_element_type=jnp.float32,
-    )                                             # (C*2, 1, T)
-    return out.reshape(c, 2, t).transpose(0, 2, 1)
+    yp = jnp.pad(y, ((0, 0), (16, 0), (0, 0))).astype(jnp.float32)
+    acc = None
+    for j in range(17):
+        term = _POLY32[0, j] * yp[:, j : j + t, :]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def phase_of(f: jnp.ndarray) -> jnp.ndarray:

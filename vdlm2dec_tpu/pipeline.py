@@ -172,6 +172,11 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
         err, fr = sync_scan(p0)
     if probe_stage == "sync":
         return err + fr
+    # materialize err/fr ONCE: find_triggers reads them at three shifted
+    # offsets (t, t-2, t-4) and without the fence XLA rematerializes the
+    # whole 17-slice sync core per consumer — measured 16 ms of a 61 ms
+    # block vs 3 ms for the fenced equivalent (r5 micro probes)
+    err, fr = jax.lax.optimization_barrier((err, fr))
     t0, of, df, valid = find_triggers(err, fr, max_candidates)
     if probe_stage == "triggers":
         return (t0.astype(jnp.float32) + of + df
