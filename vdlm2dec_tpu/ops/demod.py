@@ -51,8 +51,28 @@ for _c in range(13):
 
 _POLY32 = POLYPHASE.astype(np.float32)           # (4, 17)
 _GRAY32 = GRAY_TABLES.astype(np.float32)         # (3, 257)
+# Gray soft values split into two bf16 parts (hi + residual) so the
+# one-hot matmul lookup is exact to ~1e-5 relative — a dynamic gather
+# of (M, ms) soft bits measured ~12 ms/1M elements on the chip, the
+# one-hot matmul ~4 (r5 micro probes)
+_GRAY_HI = GRAY_TABLES.T.astype(np.float32)      # (257, 3)
 _SW32 = SYNC_PHASES.astype(np.float32)           # (17,)
 _KS = KEYSTREAM.astype(np.bool_)                 # (MAX_BURST_BITS,)
+
+
+def _gray_soft(gi: jnp.ndarray) -> jnp.ndarray:
+    """(..., ) Gray indices in [0, 256] -> (..., 3) soft bits via a
+    one-hot matmul over the 257-entry table (two bf16 parts, exact to
+    ~1e-5 — far below the soft slicer's sensitivity)."""
+    g = jnp.asarray(_GRAY_HI)                    # (257, 3) f32
+    hi = g.astype(jnp.bfloat16)
+    lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    oh = (gi[..., None] == jnp.arange(257, dtype=gi.dtype)).astype(
+        jnp.bfloat16)
+    flat = oh.reshape(-1, 257)
+    v = (jnp.dot(flat, hi, preferred_element_type=jnp.float32)
+         + jnp.dot(flat, lo, preferred_element_type=jnp.float32))
+    return v.reshape(gi.shape + (3,))
 
 # LS slope normaliser: sum over l of (l-8)^2 = 408 (d8psk.c:283)
 _SLOPE_NORM = 408.0
@@ -327,57 +347,73 @@ def demod_candidates_inline(
     df: jnp.ndarray,
     max_symbols: int,
 ) -> jnp.ndarray:
-    """demod_candidates_flat without the materialized filter tensor.
+    """demod_candidates_flat without the materialized filter tensor —
+    and since r5, without big dynamic gathers:
 
-    The flat path gathers symbol samples from the full (C, 4, T, 2)
-    polyphase output — which forces that ~8x-sized tensor to exist in HBM
-    even though candidates touch under 1% of it.  Here each candidate
-    gathers ONE contiguous y window (8*max_symbols + 25 samples) and
-    applies the 17-tap matched filter at its own polyphase inline: the
-    same products as filteredphase (d8psk.c:219-230) at exactly the
-    symbol positions consumed (d8psk.c:317-328).  Paired with the Pallas
-    sync kernel, the filter output never exists in HBM at all.
-    """
+      * each candidate's contiguous y window comes from ONE slab gather
+        (M start indices, (win, 2) slices — streams as DMA instead of
+        per-element addressing);
+      * the 17-tap matched filter at the candidate's polyphase runs as
+        17 static-slice multiply-adds over the whole window (the old
+        (ms, 17) fancy gather cost ~12 ms per 1M elements);
+      * symbol selection exploits s1 = (35-clk0)//4 in {5,6,7,8}: after
+        reshaping the filtered window to 8-sample rows, the symbol
+        stream is a 0/1 row shift (s1==8) plus an 8-way one-hot column
+        contraction — fully static indexing;
+      * Gray soft bits come from the one-hot matmul lookup.
+
+    Same products as filteredphase (d8psk.c:219-230) at exactly the
+    symbol positions consumed (d8psk.c:317-328)."""
     c, t, _ = y.shape
-    win_len = 8 * max_symbols + 25
+    ms = max_symbols
+    win_len = 8 * (ms + 4)          # covers s1 + 8*ms + 17, multiple of 8
     # left pad 16 (filter ring), right pad one full candidate window
     ypad = jnp.pad(y, ((0, 0), (16, win_len), (0, 0)))
-    poly = jnp.asarray(_POLY32)                       # (4, 17)
+    m = chan.shape[0]
+    clk0 = jnp.clip(jnp.floor(of + 0.5), 0, 12).astype(jnp.int32)
+    phi = clk0 % 4
+    s1 = (32 - clk0 + 3) // 4                         # in {5,6,7,8}
 
-    def one(ci, t0c, ofc, dfc):
-        clk0 = jnp.clip(jnp.floor(ofc + 0.5), 0, 12).astype(jnp.int32)
-        # indexed gather, NOT dynamic_slice: a vmapped dynamic_slice on
-        # the big shared ypad can lower to a per-lane broadcast of the
-        # whole tensor (32 copies of a 300 MB tensor OOMed the whole-band
-        # config); one contiguous gather per candidate keeps it a gather
-        w = ypad[ci, t0c + jnp.arange(win_len)]       # (win_len, 2)
-        win = w[:17]
-        taps1 = jnp.asarray(_EXT_TAPS)[clk0]
-        s1v = jnp.sum(win * taps1[:, None], axis=0)
-        p1 = jnp.arctan2(s1v[1], s1v[0])
-        phi = clk0 % 4
-        s1 = (32 - clk0 + 3) // 4
-        # symbol k's filter window is y[pos_k - 16 .. pos_k] with
-        # pos_k = t0c + s1 + 8k, i.e. w[s1 + 8k .. +17) — fetched as one
-        # (ms, 17) fancy-index gather on the small per-candidate window.
-        # (A 17x-fewer-elements variant via strided static slices measured
-        # 5x SLOWER on TPU: stride-8 slicing along the sublane-mapped axis
-        # forces relayouts under vmap.  Keep the gather.)
-        idx = s1 + 8 * jnp.arange(max_symbols)[:, None] \
-            + jnp.arange(17)[None, :]                 # (ms, 17)
-        sym = w[idx]                                  # (ms, 17, 2)
-        taps = poly[phi]                              # (17,)
-        f = jnp.einsum("skp,k->sp", sym, taps,
-                       preferred_element_type=jnp.float32)
-        p = jnp.arctan2(f[:, 1], f[:, 0])
-        pprev = jnp.concatenate([p1[None].astype(p.dtype), p[:-1]])
-        d = (p - pprev) - dfc
-        d = jnp.where(d > PI, d - TWO_PI, d)
-        d = jnp.where(d < -PI, d + TWO_PI, d)
-        gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5), 0, 256).astype(jnp.int32)
-        g = jnp.asarray(_GRAY32)
-        soft = g[:, gi].T.reshape(-1)
-        ks = jnp.asarray(_KS[: soft.shape[0]])
-        return jnp.where(ks, 1.0 - soft, soft)
+    starts = jnp.stack([chan, t0], axis=1)            # (M, 2) into ypad
+    w = jax.lax.gather(
+        ypad, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, win_len, 2),
+        mode=jax.lax.GatherScatterMode.CLIP)          # (M, win_len, 2)
 
-    return jax.vmap(one)(chan, t0, of, df)
+    # trigger-time filteredphase with the clk0-extended taps
+    taps1 = jnp.asarray(_EXT_TAPS)[clk0]              # (M, MBUFLEN)
+    s1v = jnp.einsum("mkp,mk->mp", w[:, : taps1.shape[1]], taps1,
+                     preferred_element_type=jnp.float32)
+    p1 = jnp.arctan2(s1v[:, 1], s1v[:, 0])
+
+    # matched filter over the whole window at each candidate's polyphase
+    tp = jnp.asarray(_POLY32)[phi]                    # (M, 17)
+    l = win_len - 16
+    f = None
+    for j in range(17):
+        term = tp[:, j, None, None] * w[:, j : j + l, :]
+        f = term if f is None else f + term           # (M, L, 2)
+    # f[m, t] = filter output at stream position t0 + t; symbols at
+    # t = s1 + 8k.  L is a multiple of 8, so view 8-sample rows and
+    # select (row k + [s1==8], column s1&7)
+    fv = f.reshape(m, l // 8, 8, 2)
+    base = fv[:, : ms + 1]                            # (M, ms+1, 8, 2)
+    shift = (s1 == 8)
+    sel = jnp.where(shift[:, None, None, None], base[:, 1:], base[:, :ms])
+    col = (jnp.arange(8)[None, :] == (s1 & 7)[:, None]).astype(jnp.float32)
+    sym = jnp.einsum("mkcp,mc->mkp", sel, col,
+                     preferred_element_type=jnp.float32)  # (M, ms, 2)
+
+    p = jnp.arctan2(sym[..., 1], sym[..., 0])
+    pprev = jnp.concatenate([p1[:, None], p[:, :-1]], axis=1)
+    d = (p - pprev) - df[:, None]
+    d = jnp.where(d > PI, d - TWO_PI, d)
+    d = jnp.where(d < -PI, d + TWO_PI, d)
+    gi = jnp.clip(jnp.floor(128.0 * d / PI + 128.0 + 0.5),
+                  0, 256).astype(jnp.int32)
+    soft = _gray_soft(gi).reshape(m, -1)              # (M, ms*3)
+    ks = jnp.asarray(_KS[: soft.shape[1]])
+    return jnp.where(ks[None, :], 1.0 - soft, soft)
