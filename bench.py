@@ -788,7 +788,7 @@ def main():
                          " bit-identical; dft/matmul/pfb force one impl")
     ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
                     help="bf16 mix/filter matmuls (f32 accumulation)")
-    ap.add_argument("--sync-impl", default="xla",
+    ap.add_argument("--sync-impl", default="stream",
                     choices=["xla", "stream", "fused"],
                     help="fused = Pallas filter+sync kernel + inline demod"
                          " filtering (no materialized polyphase tensor)")
@@ -986,7 +986,7 @@ def main():
     # whole budget, and the headline band/kchan/latency evidence must
     # not be what gets budget-skipped (r4: band+kchan were skipped at
     # 900/1000 s while 64/76ch had already run)
-    if (args.scale and args.compute == "f32" and args.sync_impl == "xla"
+    if (args.scale and args.compute == "f32"
             and time.perf_counter() - t_start < args.budget_s):
         # record the opt-in fast path (bf16 matmuls + fused Pallas sync)
         # next to the parity-default primary

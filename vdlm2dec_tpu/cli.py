@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="boxcar = reference-parity integrate-and-dump; "
                         "fir = windowed-sinc with >60 dB adjacent-channel "
                         "rejection")
-    p.add_argument("--sync-impl", default="xla",
+    p.add_argument("--sync-impl", default="stream",
                    choices=["xla", "stream", "fused"],
                    help="fused: Pallas filter+sync kernel + inline demod "
                         "filtering (the polyphase tensor never exists in "

@@ -87,17 +87,20 @@ class PipelineConfig:
                                            # (1 MXU pass vs HIGHEST's 3);
                                            # header/RS/CRC stay exact —
                                            # frame-parity tested
-    sync_impl: str = "xla"                 # "fused": Pallas filter+sync
+    sync_impl: str = "stream"              # "fused": Pallas filter+sync
                                            # kernel + inline per-candidate
                                            # filtering — the (C,4,T,2)
                                            # polyphase tensor never exists
                                            # in HBM (ops/pallas_sync.py).
-                                           # "stream": branch-0-only XLA
-                                           # filter + the running-sum sync
-                                           # core + inline demod — same
+                                           # "stream" (DEFAULT since r5):
+                                           # branch-0-only XLA filter +
+                                           # running-sum sync core +
+                                           # batched inline demod — same
                                            # no-big-tensor property, and
-                                           # the r5 sync rewrite made XLA
-                                           # outrun the Pallas kernel
+                                           # measured 207 vs 150 Msps
+                                           # chip-bound against "xla" at
+                                           # 8ch (frame-parity tested
+                                           # across all three)
 
     def resolved_sdrclk(self) -> int:
         return self.sdrclk if self.sdrclk is not None else self.fs // 4000
