@@ -908,17 +908,18 @@ def main():
             # remote compiler's working range (the optimization_barrier in
             # _device_decode_packed buys 4x over the first cut); 512
             # symbols covers the capture's largest bursts
-            # the fused sync path is what compiles at 0.5 s cores (the
-            # xla path's materialized filter tensor + demod gather blow
-            # HBM past (760, ~21000) blocks); the pfb channelizer wins
-            # 2.2x over dft at 760 channels (22.6 vs 10.4 Msps measured,
-            # same 15/15 recall) — O(a+b) vs O(C) per output
+            # sync_impl=stream since r5: chip-bound A/B at this exact
+            # shape measured 140.2 Msps (stream) vs 114.3 (fused) with
+            # identical checksums; the xla path's materialized filter
+            # tensor still blows HBM past (760, ~21000) blocks.  The
+            # pfb channelizer wins 2.2x over dft at 760 channels —
+            # O(a+b) vs O(C) per output
             extra["scale_band_760ch"] = run_config(
                 760, 1.0, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=48,
                 fs=20_000_000, base=118_500_000, chan_impl="pfb",
                 block_seconds=args.band_core,
-                compute=args.compute, sync_impl="fused",
+                compute=args.compute, sync_impl="stream",
             )
         except Exception as e:
             print(f"# whole-band config failed: {e}", file=sys.stderr)
@@ -933,7 +934,7 @@ def main():
                     760, 1.0, 3, 2, 512, args.max_candidates, False,
                     spacing=25_000, active_every=48, fs=20_000_000,
                     base=118_500_000, chan_impl="pfb",
-                    compute=args.compute, sync_impl="fused",
+                    compute=args.compute, sync_impl="stream",
                     probe_seconds=args.band_core,
                 )
             except Exception as e:
@@ -960,7 +961,7 @@ def main():
                 2000, 0.25, 2, 512, args.max_candidates,
                 False, spacing=25_000, active_every=100,
                 fs=100_000_000, base=1_118_500_000, chan_impl="pfb",
-                compute=args.compute, sync_impl="fused",
+                compute=args.compute, sync_impl="stream",
             )
         except Exception as e:
             print(f"# 2000ch config failed: {e}", file=sys.stderr)
