@@ -488,12 +488,20 @@ def _mfu_probes(pipe, wide, t, freqs, fs) -> dict:
             # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out each
             achieved_f = c * t * (12 + 4 * p_out)
         achieved = achieved_f / ch_dt
+        # dense-equivalent rate: the work the reference's dense mix+dump
+        # formulation would need for the same output, per second — the
+        # honest cross-impl comparator now that the dft/pfb impls (and
+        # the r5 stage rewrites) optimize FLOPs away rather than raising
+        # matmul occupancy.  Raw MFU-vs-peak is reported but near-zero
+        # by construction for the cheap impls (PERF.md round 5).
+        dense_equiv = c * t * (12 + 4 * p_out) / ch_dt
         out.update({
             "matmul_peak_gflops_f32": round(matmul_flops / 1e9, 1),
             "hbm_read_gbps": round(hbm_read / 1e9, 1),
             "channelize_ms": round(ch_dt * 1e3, 2),
             "channelizer_impl": ch.impl,
             "channelizer_gflops": round(achieved / 1e9, 1),
+            "channelizer_dense_equiv_gflops": round(dense_equiv / 1e9, 1),
             "channelizer_mfu_vs_matmul_peak": round(
                 achieved / matmul_flops, 4),
         })
