@@ -118,7 +118,7 @@ def test_triggers_match_golden():
     y = jnp.asarray(pack_complex(sig[None, :]))
     f = polyphase_filter(y)
     err, fr = sync_scan(phase_of(f[:, 0]))
-    t0, of, df, valid = find_triggers(err, fr, 4)
+    t0, of, df, valid, q = find_triggers(err, fr, 4)
     t0 = np.asarray(t0)[0]
     assert valid[0, 0]
     assert t0[0] == gb.start_index
@@ -150,7 +150,7 @@ def test_find_triggers_block_compaction_parity():
         err[ci, tp] = 5.0              # e0 > e1
 
     k = 4
-    t0, of, df, valid = demod_mod.find_triggers(
+    t0, of, df, valid, q = demod_mod.find_triggers(
         jnp.asarray(err), jnp.asarray(fr), k)
 
     # brute-force replay of the documented rules
@@ -201,7 +201,7 @@ def test_demod_block_matches_golden():
     y = jnp.asarray(pack_complex(sig[None, :]))
     f = polyphase_filter(y)
     err, fr = sync_scan(phase_of(f[:, 0]))
-    t0, of, df, valid = find_triggers(err, fr, 4)
+    t0, of, df, valid, q = find_triggers(err, fr, 4)
     chan = jnp.zeros((4,), jnp.int32)
     soft = demod_candidates_flat(
         y, chan, t0[0], of[0], df[0], max_symbols, polyphase_filter(y)

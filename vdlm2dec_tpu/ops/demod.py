@@ -242,10 +242,15 @@ def find_triggers(
     our indexing: first metric after 2 samples) and fires when the previous
     metric was below threshold and the current one increased (d8psk.c:292).
 
-    Returns (t0, of, df, valid): each (C, K).
+    Returns (t0, of, df, valid, q): each (C, K).
       t0: decimated-sample index of the trigger (phase consumed at t0)
       of: parabolic timing offset (quarter-sample units, d8psk.c:303-305)
       df: frequency offset = slope at the *previous* position (pfr)
+      q:  the sub-threshold sync residual the trigger fired on (perr at
+          t0-2) — real preambles sit far below the 4.0 threshold while
+          noise triggers hover just under it, so q ranks candidates for
+          decode-slot compaction under pressure (r5: the earliest-first
+          key let junk evict late real bursts once traffic densified)
     """
     c, t = err.shape
     tt = jnp.arange(t)
@@ -290,7 +295,7 @@ def find_triggers(
     ge0 = jnp.take_along_axis(e0, t0c, axis=1)
     df = jnp.take_along_axis(f1, t0c, axis=1)
     of = 4.0 * (ge2 - 4.0 * ge1 + 3.0 * ge0) / (ge2 - 2.0 * ge1 + ge0)
-    return t0c, of, df, valid
+    return t0c, of, df, valid, ge1
 
 
 @functools.partial(jax.jit, static_argnames=("max_symbols",))

@@ -180,18 +180,22 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
     # whole 17-slice sync core per consumer — measured 16 ms of a 61 ms
     # block vs 3 ms for the fenced equivalent (r5 micro probes)
     err, fr = jax.lax.optimization_barrier((err, fr))
-    t0, of, df, valid = find_triggers(err, fr, max_candidates)
+    t0, of, df, valid, q = find_triggers(err, fr, max_candidates)
     if probe_stage == "triggers":
         return (t0.astype(jnp.float32) + of + df
-                + valid.astype(jnp.float32))
+                + valid.astype(jnp.float32) + q)
     if core_len:
         valid = valid & (t0 >= core_start) & (t0 < core_start + core_len)
 
     c, k = t0.shape
     n = c * k
     m = min(max_out, n)
-    big = jnp.int32(1 << 30)
-    key = jnp.where(valid.reshape(n), t0.reshape(n), big)
+    # compact by SYNC QUALITY, not trigger time: under slot pressure the
+    # best-synced candidates (real preambles, q << 4.0) survive and junk
+    # (q ~ 4.0) drops — time-ordered compaction let noise triggers evict
+    # late real bursts once the r5 stimulus densified (band 40/115,
+    # 2000ch 27/34 recall failures caught by the bench gates)
+    key = jnp.where(valid.reshape(n), q.reshape(n), jnp.float32(np.inf))
     order = jnp.argsort(key)[:m]
     chan = (order // k).astype(jnp.int32)
     t0s = t0.reshape(n)[order]
