@@ -821,7 +821,7 @@ def main():
                     help="skip the chip-bound device-resident legs "
                          "(staged input, checksum-only fetch, MFU/roofline)")
     ap.set_defaults(device=True)
-    ap.add_argument("--band-budget-s", type=float, default=900.0,
+    ap.add_argument("--band-budget-s", type=float, default=1100.0,
                     help="start the whole-band config only if wall time is "
                          "below this (its remote compile alone can take "
                          "minutes; the reserve keeps the total run bounded)")
@@ -833,7 +833,7 @@ def main():
                          "--kchan-budget-s; ~7 min compile)")
     ap.add_argument("--no-kchan", dest="kchan", action="store_false",
                     help="skip the 2000-channel config")
-    ap.add_argument("--kchan-budget-s", type=float, default=1000.0,
+    ap.add_argument("--kchan-budget-s", type=float, default=1300.0,
                     help="start the 2000-channel config only if wall time "
                          "is below this")
     # one tri-state dest: None = default point(s), "all" = every block
