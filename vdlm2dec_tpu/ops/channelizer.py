@@ -394,22 +394,50 @@ def pfb_tables(f_offsets: tuple[float, ...], fs: int, sdrclk: int):
             np.stack([k1, k2], axis=1).astype(np.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("a", "b", "compute"))
-def _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw, dfb, bins,
-                        a: int, b: int, compute="f32"):
-    """Residue gather + factorized-DFT filterbank: x (B, P_in) f32 pair ->
-    (C, B*84) pair.  Same residue gather as the dft impl; the (C, tbl)
-    matmul is replaced by DFT_a -> twiddle -> DFT_b over all tbl bins,
-    then a bin gather for the requested channels."""
+@functools.partial(jax.jit, static_argnames=("a", "b", "split", "compute"))
+def _channelize_pfb_jit(x_r, x_i, a2, dfa, tw, dfb, bins,
+                        a: int, b: int, split: bool = False,
+                        compute="f32"):
+    """Residue contraction + factorized-DFT filterbank: x (B, P_in) f32
+    pair -> (C, B*84) pair.  The residue-space tensor comes from the same
+    gather-free (B, Q, tbl) x (Q, tbl, 84) contraction as the dft impl
+    (dft_qr_tables — the element gather measured ~12 ms/1M on chip);
+    the (C, tbl) matmul is replaced by DFT_a -> twiddle -> DFT_b over
+    all tbl bins, then a bin gather for the requested channels.
+
+    The DFT factorization needs z in TRUE residue order (r = r1*b + r2);
+    with split=True (a2 in the split-phase cu8 layout) the even/odd
+    half-contractions produce true residues [0,2,..] and [1,3,..], which
+    interleave back via a middle-axis stack+reshape (the 84-wide minor
+    dim stays intact, so this is a sublane shuffle, not a relayout)."""
     bsz = x_r.shape[0]
-    tbl, p_out = idx.shape
+    q_n, tbl, p_out = a2.shape
     dt, prec = mm_mode(compute)
-    g = mask * invlen[None, :]
-    zr = (x_r[:, idx.reshape(-1)].reshape(bsz, tbl, p_out) * g)
-    zi = (x_i[:, idx.reshape(-1)].reshape(bsz, tbl, p_out) * g)
+    a2 = a2.astype(dt)
+
+    def z_of(x):
+        if split:
+            h = x.shape[1] // 2
+            ze = jnp.einsum("bqr,qrm->brm",
+                            x[:, :h].reshape(bsz, q_n, tbl // 2).astype(dt),
+                            a2[:, : tbl // 2],
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            zo = jnp.einsum("bqr,qrm->brm",
+                            x[:, h:].reshape(bsz, q_n, tbl // 2).astype(dt),
+                            a2[:, tbl // 2:],
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            # true residue r = 2*r1 + parity: interleave the halves
+            return jnp.stack([ze, zo], axis=2).reshape(bsz, tbl, p_out)
+        return jnp.einsum("bqr,qrm->brm",
+                          x.reshape(bsz, q_n, tbl).astype(dt), a2,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
     # residue r = r1*b + r2 -> (B, a, b, 84)
-    zr = zr.reshape(bsz, a, b, p_out).astype(dt)
-    zi = zi.reshape(bsz, a, b, p_out).astype(dt)
+    zr = z_of(x_r).reshape(bsz, a, b, p_out).astype(dt)
+    zi = z_of(x_i).reshape(bsz, a, b, p_out).astype(dt)
 
     def cmatmul(spec, mr, mi, vr, vi):
         rr = jnp.einsum(spec, mr, vr, preferred_element_type=jnp.float32,
@@ -574,8 +602,10 @@ class Channelizer:
                 split_phase_index(idx, self.p_in))
             self._dft_mask = jnp.asarray(mask)
             self._dft_invlen = jnp.asarray(invlen)
-        if impl == "dft":
-            # gather-free two-matmul formulation, ordered + split layouts
+        if impl in ("dft", "pfb"):
+            # gather-free residue contraction, ordered + split layouts
+            # (the dft impl consumes z via its (C, tbl) matmul, pfb via
+            # the factorized DFT — both share the qr z-construction)
             for suffix, sp in (("", False), ("_s", True)):
                 wq, a2 = dft_qr_tables(self.f_offsets, fs, self.sdrclk, sp)
                 setattr(self, f"_qr_w_r{suffix}",
@@ -663,7 +693,7 @@ class Channelizer:
     def _run(self, x_r, x_i, ph):
         if self.impl == "pfb":
             return _channelize_pfb_jit(
-                x_r, x_i, self._dft_idx, self._dft_mask, self._dft_invlen,
+                x_r, x_i, self._qr_a2,
                 self._pfb_dfa, self._pfb_tw, self._pfb_dfb, self._pfb_bins,
                 self._pfb_a, self._pfb_b, compute=self.compute,
             )

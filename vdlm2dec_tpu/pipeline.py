@@ -442,7 +442,7 @@ _wideband_raw_decode_dft_jit = jax.jit(
 )
 
 
-def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
+def _wideband_raw_decode_pfb(raw, a2, dfa, tw, dfb, bins,
                              dc_offset, a: int, b: int, p_in: int,
                              max_candidates: int, max_symbols: int,
                              max_out: int, fmt: str = "cu8",
@@ -454,13 +454,14 @@ def _wideband_raw_decode_pfb(raw, idx, mask, invlen, dfa, tw, dfb, bins,
     matmuls + twiddle, O(a+b) per output vs the dft impl's O(C)."""
     from .ops.channelizer import _channelize_pfb_jit
 
-    # cu8: split-phase ingest + matching gather table (see dft wrapper)
+    # cu8: split-phase ingest + matching a2 table (see dft wrapper)
     if fmt == "cu8":
         x_r, x_i = _raw_to_planes_split(raw, dc_offset, p_in)
     else:
         x_r, x_i = _raw_to_planes(raw, fmt, dc_offset, p_in)
-    yr, yi = _channelize_pfb_jit(x_r, x_i, idx, mask, invlen, dfa, tw,
-                                 dfb, bins, a, b, compute=compute)
+    yr, yi = _channelize_pfb_jit(x_r, x_i, a2, dfa, tw,
+                                 dfb, bins, a, b, split=(fmt == "cu8"),
+                                 compute=compute)
     # same compile-time fence as the dft wrapper (see there)
     y = jax.lax.optimization_barrier(jnp.stack([yr, yi], axis=-1))
     if probe_stage == "channelize":
@@ -532,11 +533,10 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
     )
     ch._period_cursor += b
     if ch.impl == "pfb":
-        dft_idx = ch._dft_idx_split if fmt == "cu8" else ch._dft_idx
-    if ch.impl == "pfb":
+        s = "_s" if fmt == "cu8" else ""
         return _wideband_raw_decode_pfb_jit(
             jnp.asarray(raw[: per * t]),
-            dft_idx, ch._dft_mask, ch._dft_invlen,
+            getattr(ch, f"_qr_a2{s}"),
             ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
             jnp.float32(RTL_DC_OFFSET),
             ch._pfb_a, ch._pfb_b, ch.p_in,
@@ -618,17 +618,15 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
     mc, ms, mo = (pipe.cfg.max_candidates, pipe.cfg.max_symbols,
                   pipe._max_out())
 
-    dft_idx = (ch._dft_idx_split if fmt == "cu8" else ch._dft_idx) \
-        if ch.impl == "pfb" else None
     qr = None
-    if ch.impl == "dft":
+    if ch.impl in ("dft", "pfb"):
         s = "_s" if fmt == "cu8" else ""
         qr = tuple(getattr(ch, f"_qr_{n}{s}") for n in ("w_r", "w_i", "a2"))
 
     def one(r):
         if ch.impl == "pfb":
             return _wideband_raw_decode_pfb(
-                r, dft_idx, ch._dft_mask, ch._dft_invlen,
+                r, qr[2],
                 ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
                 dc, ch._pfb_a, ch._pfb_b, ch.p_in, mc, ms, mo, fmt,
                 compute=pipe.cfg.compute, sync_impl=pipe.cfg.sync_impl,
