@@ -416,101 +416,106 @@ def _mfu_probes(pipe, wide, t, freqs, fs) -> dict:
 
     out: dict = {}
     channels = len(freqs)
-    if True:
-        # f32 matmul peak, device-resident (salt loop, one scalar fetch)
-        k = 4096
-        a = jax.device_put(jnp.ones((k, k), jnp.float32))
-        mm_inner = 8
+    # f32 matmul peak, device-resident (salt loop, one scalar fetch)
+    k = 4096
+    a = jax.device_put(jnp.ones((k, k), jnp.float32))
+    mm_inner = 8
 
-        @jax.jit
-        def mm(a, s):
-            def body(i, acc):
-                return acc + ((a + s[i]) @ a)[0, 0]
+    @jax.jit
+    def mm(a, s):
+        def body(i, acc):
+            return acc + ((a + s[i]) @ a)[0, 0]
 
-            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+        return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
 
-        s = jnp.arange(mm_inner, dtype=jnp.float32) * 1e-7
+    s = jnp.arange(mm_inner, dtype=jnp.float32) * 1e-7
+    _ = np.asarray(mm(a, s))
+    t0 = time.perf_counter()
+    for _i in range(3):
         _ = np.asarray(mm(a, s))
-        t0 = time.perf_counter()
-        for _i in range(3):
-            _ = np.asarray(mm(a, s))
-        mm_dt = (time.perf_counter() - t0) / 3
-        matmul_flops = 2 * k**3 * mm_inner / mm_dt
+    mm_dt = (time.perf_counter() - t0) / 3
+    matmul_flops = 2 * k**3 * mm_inner / mm_dt
 
-        # HBM read bandwidth, device-resident
-        big = jax.device_put(jnp.ones((256, 1 << 20), jnp.float32))  # 1 GiB
+    # HBM read bandwidth, device-resident
+    big = jax.device_put(jnp.ones((256, 1 << 20), jnp.float32))  # 1 GiB
 
-        @jax.jit
-        def rd(b, s):
-            def body(i, acc):
-                return acc + (b * (1 + s[i])).sum()
+    @jax.jit
+    def rd(b, s):
+        def body(i, acc):
+            return acc + (b * (1 + s[i])).sum()
 
-            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+        return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
 
+    _ = np.asarray(rd(big, s))
+    t0 = time.perf_counter()
+    for _i in range(3):
         _ = np.asarray(rd(big, s))
-        t0 = time.perf_counter()
-        for _i in range(3):
-            _ = np.asarray(rd(big, s))
-        rd_dt = (time.perf_counter() - t0) / 3
-        hbm_read = big.size * 4 * mm_inner / rd_dt
+    rd_dt = (time.perf_counter() - t0) / 3
+    hbm_read = big.size * 4 * mm_inner / rd_dt
 
-        # channelize-only, device-resident (the stage with the FLOPs)
-        x_dev = jax.device_put(jnp.asarray(np.stack(
-            [wide[:t].real, wide[:t].imag], -1).astype(np.float32)))
+    # channelize-only, device-resident (the stage with the FLOPs)
+    x_dev = jax.device_put(jnp.asarray(np.stack(
+        [wide[:t].real, wide[:t].imag], -1).astype(np.float32)))
 
-        @jax.jit
-        def chan(v, s):
-            def body(i, acc):
-                return acc + pipe.channelizer(
-                    v.at[0, 0].add(s[i])).sum()
+    @jax.jit
+    def chan(v, s):
+        def body(i, acc):
+            return acc + pipe.channelizer(
+                v.at[0, 0].add(s[i])).sum()
 
-            return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
+        return lax.fori_loop(0, s.shape[0], body, jnp.float32(0))
 
+    _ = np.asarray(chan(x_dev, s))
+    t0 = time.perf_counter()
+    for _i in range(3):
         _ = np.asarray(chan(x_dev, s))
-        t0 = time.perf_counter()
-        for _i in range(3):
-            _ = np.asarray(chan(x_dev, s))
-        ch_dt = (time.perf_counter() - t0) / 3 / mm_inner
-        c = len(freqs)
-        ch = pipe.channelizer
-        p_in, p_out = ch.p_in, ch.p_out
-        nb = t // p_in
-        # ACTUAL flops of the impl in use (the dft/pfb impls do the same
-        # products in far fewer MACs — MFU must measure how well the MXU
-        # runs what was actually dispatched, not the dense formulation)
-        if ch.impl == "dft":
-            tbl = fs // 25_000
-            achieved_f = 8 * c * tbl * nb * p_out
-        elif ch.impl == "pfb":
-            fa, fb = ch._pfb_a, ch._pfb_b
-            achieved_f = (8 * fa * (fa + fb) * fb + 6 * fa * fb) * nb * p_out
-        else:
-            # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out each
-            achieved_f = c * t * (12 + 4 * p_out)
-        achieved = achieved_f / ch_dt
-        # dense-equivalent rate: the work the reference's dense mix+dump
-        # formulation would need for the same output, per second — the
-        # honest cross-impl comparator now that the dft/pfb impls (and
-        # the r5 stage rewrites) optimize FLOPs away rather than raising
-        # matmul occupancy.  Raw MFU-vs-peak is reported but near-zero
-        # by construction for the cheap impls (PERF.md round 5).
-        dense_equiv = c * t * (12 + 4 * p_out) / ch_dt
-        out.update({
-            "matmul_peak_gflops_f32": round(matmul_flops / 1e9, 1),
-            "hbm_read_gbps": round(hbm_read / 1e9, 1),
-            "channelize_ms": round(ch_dt * 1e3, 2),
-            "channelizer_impl": ch.impl,
-            "channelizer_gflops": round(achieved / 1e9, 1),
-            "channelizer_dense_equiv_gflops": round(dense_equiv / 1e9, 1),
-            "channelizer_mfu_vs_matmul_peak": round(
-                achieved / matmul_flops, 4),
-        })
-        print(f"# [device {channels}ch] matmul peak "
-              f"{out['matmul_peak_gflops_f32']} Gflop/s, HBM read "
-              f"{out['hbm_read_gbps']} GB/s, channelize "
-              f"{out['channelize_ms']} ms = {out['channelizer_gflops']} "
-              f"Gflop/s (MFU {out['channelizer_mfu_vs_matmul_peak']})",
-              file=sys.stderr)
+    ch_dt = (time.perf_counter() - t0) / 3 / mm_inner
+    c = len(freqs)
+    ch = pipe.channelizer
+    p_in, p_out = ch.p_in, ch.p_out
+    nb = t // p_in
+    # ACTUAL flops of the impl in use (the dft/pfb impls do the same
+    # products in far fewer MACs — MFU must measure how well the MXU
+    # runs what was actually dispatched, not the dense formulation)
+    from vdlm2dec_tpu.constants import STEPRATE
+
+    # qr residue contraction (both residue impls since r5):
+    # 2 planes x 2*Q*tbl*84 MACs per period = 4*p_in*84 flops/period
+    z_f = 4 * p_in * p_out * nb
+    if ch.impl == "dft":
+        tbl = fs // STEPRATE
+        achieved_f = z_f + 8 * c * tbl * nb * p_out
+    elif ch.impl == "pfb":
+        fa, fb = ch._pfb_a, ch._pfb_b
+        achieved_f = z_f + (8 * fa * (fa + fb) * fb
+                            + 6 * fa * fb) * nb * p_out
+    else:
+        # mix 12 flops/(chan,sample) + aggregate matmul 4*P_out each
+        achieved_f = c * t * (12 + 4 * p_out)
+    achieved = achieved_f / ch_dt
+    # dense-equivalent rate: the work the reference's dense mix+dump
+    # formulation would need for the same output, per second — the
+    # honest cross-impl comparator now that the dft/pfb impls (and
+    # the r5 stage rewrites) optimize FLOPs away rather than raising
+    # matmul occupancy.  Raw MFU-vs-peak is reported but near-zero
+    # by construction for the cheap impls (PERF.md round 5).
+    dense_equiv = c * t * (12 + 4 * p_out) / ch_dt
+    out.update({
+        "matmul_peak_gflops_f32": round(matmul_flops / 1e9, 1),
+        "hbm_read_gbps": round(hbm_read / 1e9, 1),
+        "channelize_ms": round(ch_dt * 1e3, 2),
+        "channelizer_impl": ch.impl,
+        "channelizer_gflops": round(achieved / 1e9, 1),
+        "channelizer_dense_equiv_gflops": round(dense_equiv / 1e9, 1),
+        "channelizer_mfu_vs_matmul_peak": round(
+            achieved / matmul_flops, 4),
+    })
+    print(f"# [device {channels}ch] matmul peak "
+          f"{out['matmul_peak_gflops_f32']} Gflop/s, HBM read "
+          f"{out['hbm_read_gbps']} GB/s, channelize "
+          f"{out['channelize_ms']} ms = {out['channelizer_gflops']} "
+          f"Gflop/s (MFU {out['channelizer_mfu_vs_matmul_peak']})",
+          file=sys.stderr)
     return out
 
 
@@ -571,13 +576,13 @@ def run_analysis(seconds: float, iters: int, max_symbols: int,
 
         def sync_fn(v):
             err, fr = sync_scan_pallas(v)
-            t0_, of, df, valid = find_triggers(err, fr, 16)
+            t0_, of, df, valid, q = find_triggers(err, fr, 16)
             return t0_.sum() + valid.sum()
     else:
         def sync_fn(v):
             f = polyphase_filter(v, compute=compute)
             err, fr = sync_scan(phase_of(f[:, 0]))
-            t0_, of, df, valid = find_triggers(err, fr, 16)
+            t0_, of, df, valid, q = find_triggers(err, fr, 16)
             return t0_.sum() + valid.sum()
 
     stages["filter+sync_scan"] = timed("filter+sync_scan", jax.jit(sync_fn), yj)
@@ -686,6 +691,7 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
     t_sub: dict[int, float] = {}
     max_backlog = 0
     t_start = time.perf_counter()
+    rebased = False
     try:
         seen = 0
         for i in range(n_blocks):
@@ -700,6 +706,14 @@ def run_latency(block_seconds: float, seconds: float = 8.0,
                 lat.append(now - t_sub[seen])
                 done_lag.append(now - (t_start + seen * block_seconds))
                 seen += 1
+                if not rebased:
+                    # rebase the feed schedule on the FIRST completion:
+                    # any residual warm-up (compile tail, first remote
+                    # dispatch) would otherwise leave the absolute
+                    # schedule permanently in the past and no sleep
+                    # would ever fire — "paced" in name only (r5 review)
+                    t_start = now - (i + 1) * block_seconds
+                    rebased = True
         for _res in pd.drain():
             now = time.perf_counter()
             lat.append(now - t_sub[seen])

@@ -593,26 +593,10 @@ class Channelizer:
             self._a_fir = jnp.asarray(a_fir)
             self._fir_pad = pad
         if impl in ("dft", "pfb"):
-            w, idx, mask, invlen = dft_tables(self.f_offsets, fs, self.sdrclk)
-            self._w_r = jnp.asarray(np.ascontiguousarray(w.real))
-            self._w_i = jnp.asarray(np.ascontiguousarray(w.imag))
-            self._dft_idx = jnp.asarray(idx)
-            # same gather remapped for the split-phase cu8 ingest layout
-            self._dft_idx_split = jnp.asarray(
-                split_phase_index(idx, self.p_in))
-            self._dft_mask = jnp.asarray(mask)
-            self._dft_invlen = jnp.asarray(invlen)
-        if impl in ("dft", "pfb"):
-            # gather-free residue contraction, ordered + split layouts
-            # (the dft impl consumes z via its (C, tbl) matmul, pfb via
-            # the factorized DFT — both share the qr z-construction)
-            for suffix, sp in (("", False), ("_s", True)):
-                wq, a2 = dft_qr_tables(self.f_offsets, fs, self.sdrclk, sp)
-                setattr(self, f"_qr_w_r{suffix}",
-                        jnp.asarray(np.ascontiguousarray(wq.real)))
-                setattr(self, f"_qr_w_i{suffix}",
-                        jnp.asarray(np.ascontiguousarray(wq.imag)))
-                setattr(self, f"_qr_a2{suffix}", jnp.asarray(a2))
+            # residue eligibility check (raises early on bad plans); the
+            # qr tables themselves build lazily per layout in qr_tables()
+            dft_tables(self.f_offsets, fs, self.sdrclk)
+            self._qr_cache: dict[bool, tuple] = {}
         if impl == "pfb":
             a, b, dfa, tw, dfb, bins = pfb_tables(
                 self.f_offsets, fs, self.sdrclk)
@@ -693,14 +677,14 @@ class Channelizer:
     def _run(self, x_r, x_i, ph):
         if self.impl == "pfb":
             return _channelize_pfb_jit(
-                x_r, x_i, self._qr_a2,
+                x_r, x_i, self.qr_tables(False)[2],
                 self._pfb_dfa, self._pfb_tw, self._pfb_dfb, self._pfb_bins,
                 self._pfb_a, self._pfb_b, compute=self.compute,
             )
         if self.impl == "dft":
             # lo_wrap=True: the per-period phase is exactly 1, so ph drops
             return _channelize_dft_qr_jit(
-                x_r, x_i, self._qr_w_r, self._qr_w_i, self._qr_a2,
+                x_r, x_i, *self.qr_tables(False),
                 compute=self.compute,
             )
         ph_r = jnp.asarray(np.ascontiguousarray(ph.real))
@@ -714,6 +698,23 @@ class Channelizer:
             x_r, x_i, self._lo_r, self._lo_i, ph_r, ph_i, self._a,
             compute=self.compute,
         )
+
+    def qr_tables(self, split: bool) -> tuple:
+        """(w_r, w_i, a2) device constants for the gather-free residue
+        contraction (dft_qr_tables), built LAZILY per layout: split=True
+        is the cu8 split-phase ingest layout, False the sample order.
+        Any one run uses exactly one layout, and a band-scale a2 is tens
+        of MB of HBM — building both eagerly doubled that for nothing
+        (r5 review)."""
+        cached = self._qr_cache.get(split)
+        if cached is None:
+            wq, a2 = dft_qr_tables(self.f_offsets, self.fs, self.sdrclk,
+                                   split)
+            cached = (jnp.asarray(np.ascontiguousarray(wq.real)),
+                      jnp.asarray(np.ascontiguousarray(wq.imag)),
+                      jnp.asarray(a2))
+            self._qr_cache[split] = cached
+        return cached
 
     def reset(self) -> None:
         self._period_cursor = 0

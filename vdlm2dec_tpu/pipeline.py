@@ -166,7 +166,10 @@ def _device_decode_packed(y, max_candidates: int, max_symbols: int,
         from .ops.demod import polyphase_filter0
 
         f = None
-        err, fr = sync_scan(phase_of(polyphase_filter0(y, compute=compute)))
+        f0 = polyphase_filter0(y, compute=compute)
+        if probe_stage == "filter":
+            return f0
+        err, fr = sync_scan(phase_of(f0))
     else:
         f = polyphase_filter(y, compute=compute)
         if probe_stage == "filter":
@@ -533,10 +536,9 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
     )
     ch._period_cursor += b
     if ch.impl == "pfb":
-        s = "_s" if fmt == "cu8" else ""
         return _wideband_raw_decode_pfb_jit(
             jnp.asarray(raw[: per * t]),
-            getattr(ch, f"_qr_a2{s}"),
+            ch.qr_tables(fmt == "cu8")[2],
             ch._pfb_dfa, ch._pfb_tw, ch._pfb_dfb, ch._pfb_bins,
             jnp.float32(RTL_DC_OFFSET),
             ch._pfb_a, ch._pfb_b, ch.p_in,
@@ -550,11 +552,9 @@ def _dispatch_fused(pipe: "Pipeline", raw: np.ndarray, fmt: str,
             sync_impl=pipe.cfg.sync_impl,
         )
     if ch.impl == "dft":
-        s = "_s" if fmt == "cu8" else ""
         return _wideband_raw_decode_dft_jit(
             jnp.asarray(raw[: per * t]),
-            getattr(ch, f"_qr_w_r{s}"), getattr(ch, f"_qr_w_i{s}"),
-            getattr(ch, f"_qr_a2{s}"),
+            *ch.qr_tables(fmt == "cu8"),
             jnp.float32(RTL_DC_OFFSET),
             ch.p_in,
             pipe.cfg.max_candidates,
@@ -620,8 +620,7 @@ def make_device_probe(pipe: "Pipeline", raw: np.ndarray, fmt: str = "cu8",
 
     qr = None
     if ch.impl in ("dft", "pfb"):
-        s = "_s" if fmt == "cu8" else ""
-        qr = tuple(getattr(ch, f"_qr_{n}{s}") for n in ("w_r", "w_i", "a2"))
+        qr = ch.qr_tables(fmt == "cu8")
 
     def one(r):
         if ch.impl == "pfb":
